@@ -1,0 +1,146 @@
+"""Convolution primitives (NHWC, TPU-native) with reference-compatible
+shape semantics and init distributions.
+
+The reference uses torch ``nn.Conv2d(k, stride, padding=k//2)`` everywhere
+(symmetric padding) — we reproduce that with explicit padding on
+``lax.conv_general_dilated`` so output sizes match for odd inputs too
+(out = floor((h + 2*(k//2) - k)/s) + 1).
+
+Init distributions (all cited to the reference):
+  - ``torch_default``: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/(Cin*k*k)))
+    plus bias U(+-1/sqrt(Cin*k*k)) — torch's nn.Conv2d default, used by all
+    ANN cells (submodules.py:33).
+  - ``uniform_fan_in_channels``: U(+-sqrt(1/Cin)) — the SNN cells' init
+    (spiking_submodules.py:74-75; fan-in counts channels only, not k^2).
+  - ``w_scale``: U(+-w_scale) with zero bias (submodules.py:34-36).
+  - ``orthogonal``: ConvGRU gates (submodules.py:393-398), zero bias.
+"""
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["Conv2d", "ConvTranspose2dX2", "torch_conv_kernel_init"]
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """U(+-sqrt(1/fan_in)) with fan_in = Cin*k*k (torch Conv2d default)."""
+    kh, kw, cin, _ = shape
+    bound = math.sqrt(1.0 / (cin * kh * kw))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _uniform_fan_in_channels_init(key, shape, dtype=jnp.float32):
+    """U(+-sqrt(1/Cin)) — SNN conv init (spiking_submodules.py:74-75)."""
+    cin = shape[2]
+    bound = math.sqrt(1.0 / cin)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _torch_bias_init(cin_kk):
+    bound = 1.0 / math.sqrt(cin_kk)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv2d(nn.Module):
+    """NHWC conv with torch-style symmetric padding.
+
+    init: one of 'torch_default' | 'snn' | 'orthogonal', or a float w_scale
+    (uniform +-w_scale, zero bias).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    use_bias: bool = True
+    init: object = "torch_default"
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        cin = x.shape[-1]
+        shape = (k, k, cin, self.features)
+
+        if isinstance(self.init, (int, float)):
+            w_scale = float(self.init)
+            kernel_init = (
+                lambda key, s, dtype=jnp.float32: jax.random.uniform(
+                    key, s, dtype, -w_scale, w_scale
+                )
+            )
+            bias_init = nn.initializers.zeros
+        elif self.init == "snn":
+            kernel_init = _uniform_fan_in_channels_init
+            bias_init = nn.initializers.zeros
+        elif self.init == "orthogonal":
+            kernel_init = nn.initializers.orthogonal(column_axis=-1)
+            bias_init = nn.initializers.zeros
+        else:
+            kernel_init = torch_conv_kernel_init
+            bias_init = _torch_bias_init(cin * k * k)
+
+        kernel = self.param("kernel", kernel_init, shape)
+        pad = k // 2
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", bias_init, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class ConvTranspose2dX2(nn.Module):
+    """x2 spatial upsampling transposed conv, matching torch
+    ``ConvTranspose2d(k, stride=2, padding=k//2, output_padding=1)``
+    output shape (2H, 2W) (reference: submodules.py:104-112).
+
+    Implemented as an input-dilated convolution (lhs_dilation=2), the
+    TPU/XLA-native formulation.
+    """
+
+    features: int
+    kernel_size: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        p = k // 2
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_conv_kernel_init, (k, k, cin, self.features)
+        )
+        lo = k - 1 - p
+        hi = k - 1 - p + 1  # +1 == output_padding
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((lo, hi), (lo, hi)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", _torch_bias_init(cin * k * k), (self.features,)
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def out_hw(h, w, stride):
+    """Output spatial dims of a stride-s conv with torch k//2 padding
+    (= ceil(h/s) for odd kernels)."""
+    return (h + stride - 1) // stride, (w + stride - 1) // stride

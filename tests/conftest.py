@@ -1,0 +1,17 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+sharding/collective tests exercise pjit/shard_map without TPU hardware
+(SURVEY.md §4 item 4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("EVFLOW_SCATTER_IMPL", "xla")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
