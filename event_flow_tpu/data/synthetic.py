@@ -1,0 +1,68 @@
+"""Synthetic event streams for tests, the end-to-end training slice, and
+benchmarks (no dataset download needed; the reference relies on external
+UZH-FPV/MVSEC/ECD/HQF HDF5 files, README.md:60-78).
+
+Generates events from points moving with constant velocity across the
+sensor: a window's events at normalized time t in [0,1] sit at
+``pos0 + t * velocity``. The contrast-maximization loss over such a window
+has its minimum at flow = velocity/flow_scaling (the property the
+reference's tools/demo_iwe.py:69-91 demonstrates), which makes these
+streams a training-signal smoke test as well as a benchmark workload.
+"""
+
+import numpy as np
+
+__all__ = ["constant_flow_window", "synthetic_window_stream"]
+
+
+def constant_flow_window(rng, n_events, res, velocity, sharp_points=64):
+    """One event window with global constant pixel velocity.
+
+    Args:
+      rng: np.random.Generator.
+      n_events: number of events.
+      res: (H, W).
+      velocity: (vy, vx) pixel displacement over the full window.
+      sharp_points: number of distinct emitting points (smaller = sharper
+        IWE contrast).
+    Returns:
+      [N, 4] float32 (ts, y, x, p), ts sorted in [0, 1], integer coords.
+    """
+    h, w = res
+    vy, vx = velocity
+    ts = np.sort(rng.uniform(0.0, 1.0, n_events)).astype(np.float32)
+    base = rng.integers(0, [h, w], size=(sharp_points, 2)).astype(np.float32)
+    # polarity is a property of the emitting edge (consistent per point),
+    # like a real rising/falling intensity edge — not random per event
+    point_pol = rng.choice([-1.0, 1.0], sharp_points).astype(np.float32)
+    which = rng.integers(0, sharp_points, n_events)
+    pos = base[which] + ts[:, None] * np.array([vy, vx], np.float32)
+    pos = np.round(pos)
+    # wrap around the sensor (avoids static pile-ups at the border that
+    # would break the constant-flow collapse property)
+    pos[:, 0] = np.mod(pos[:, 0], h)
+    pos[:, 1] = np.mod(pos[:, 1], w)
+    ps = point_pol[which]
+    return np.stack([ts, pos[:, 0], pos[:, 1], ps], axis=1).astype(np.float32)
+
+
+def synthetic_window_stream(seed, batch, n_events, res, num_windows,
+                            velocity_range=4.0):
+    """Yield batches of shape [B, T, N, 4] (T consecutive windows) with a
+    per-sequence constant velocity per batch slot; mimics the training
+    loader's fixed-event-count windows (configs/train_SNN.yml:6-7)."""
+    rng = np.random.default_rng(seed)
+    vel = rng.uniform(-velocity_range, velocity_range, size=(batch, 2))
+    while True:
+        out = np.stack(
+            [
+                np.stack(
+                    [
+                        constant_flow_window(rng, n_events, res, vel[b])
+                        for _ in range(num_windows)
+                    ]
+                )
+                for b in range(batch)
+            ]
+        )
+        yield out  # [B, T, N, 4]
