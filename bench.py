@@ -1,0 +1,110 @@
+"""Benchmark: full training-update throughput of the flagship SNN.
+
+Workload = the reference's training recipe (configs/train_SNN.yml):
+LIFFireNet (32 base channels), batch 8, 128x128, window = 1000 events,
+loss window = 10 windows -> one optimizer update per 80 event-windows.
+One jitted step covers on-device encodings, 10-window lax.scan BPTT,
+contrast-max loss, gradients, clip, Adam.
+
+Metric: event-windows/sec (higher is better).
+
+Baseline: the ACTUAL reference implementation (PyTorch, /root/reference)
+measured on this host's CPU with the identical workload: 376.3 s/update
+= 0.2126 event-windows/s (no GPU exists in this environment; the paper's
+hardware is a single CUDA GPU, reference README.md:131). The BASELINE.json
+north-star target is >10x the reference on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# torch-CPU reference throughput measured on this host (see module docstring)
+BASELINE_WINDOWS_PER_SEC = 0.2126
+
+RES = (128, 128)
+B, T, N = 8, 10, 1000
+
+
+def main():
+    from event_flow_tpu.data.synthetic import constant_flow_window
+    from event_flow_tpu.loss.warping import LossConfig
+    from event_flow_tpu.models.registry import get_model
+    from event_flow_tpu.train.optim import make_optimizer
+    from event_flow_tpu.train.step import init_train_state, make_train_step
+
+    model_cfg = {
+        "name": "LIFFireNet",
+        "encoding": "cnt",
+        "num_bins": 2,
+        "base_num_channels": 32,
+        "kernel_size": 3,
+        "mask_output": True,
+        "activations": ["arctanspike", "arctanspike"],
+        "spiking_neuron": {
+            "leak": [-4.0, 0.1],
+            "thresh": [0.8, 0.1],
+            "learn_leak": True,
+            "learn_thresh": True,
+            "hard_reset": True,
+        },
+    }
+    model = get_model("LIFFireNet", model_cfg)
+    tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
+    loss_cfg = LossConfig(RES, float(max(RES)), 0.001, smoothing_mask=True)
+    step = jax.jit(make_train_step(model, tx, RES, 2, loss_cfg))
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
+
+    rng = np.random.default_rng(0)
+    ev = np.stack(
+        [
+            np.stack(
+                [
+                    constant_flow_window(rng, N, RES, (2.0, -2.0), 64)
+                    for _ in range(T)
+                ]
+            )
+            for _ in range(B)
+        ]
+    )
+    ev = jnp.asarray(ev)
+    valid = jnp.ones((B, T, N))
+    aug = jnp.zeros((B, 3))
+    reset = jnp.asarray(False)
+
+    # warmup/compile (sync via host read; block_until_ready on the full
+    # state pytree can stall under the axon tunnel plugin)
+    state, loss = step(state, ev, valid, aug, reset)
+    float(loss)
+
+    # force a host read of the loss every step: an unambiguous device
+    # sync (block_until_ready alone under-reports on the axon plugin)
+    iters = 20
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, loss = step(state, ev, valid, aug, reset)
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    windows_per_sec = B * T / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_event_windows_per_sec",
+                "value": round(windows_per_sec, 2),
+                "unit": "event-windows/s (LIFFireNet b8 128x128 w1000, full update)",
+                "vs_baseline": round(windows_per_sec / BASELINE_WINDOWS_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

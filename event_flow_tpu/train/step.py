@@ -1,0 +1,133 @@
+"""The jitted training step: ``lax.scan`` over the loss window, BPTT,
+optimizer update.
+
+TPU-native rebuild of the reference's Python training loop
+(reference: train_flow.py:97-171). The reference runs T=window_loss/window
+(=10) forward passes accumulating autograd graph + loss state, then calls
+``backward()``; here the T windows are a ``lax.scan`` inside ONE jitted
+step, so XLA sees the whole BPTT graph: encodings, model, loss, gradients,
+clip, Adam update — one compiled program per update, zero host round-trips.
+
+State semantics:
+  - model recurrent state is the scan carry across windows and is carried
+    across steps (truncated BPTT: ``stop_gradient`` between steps replaces
+    ``model.detach_states()``, train_flow.py:170)
+  - a per-step ``reset`` flag zeroes the carried state, replacing
+    ``model.reset_states()`` at sequence changes (train_flow.py:100-105)
+  - per-window event encodings are computed on-device inside the scan
+    (replaces the host-side DataLoader encodings, dataloader/base.py:148-222)
+"""
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.augment import augment_events
+from ..loss.warping import LossConfig, event_warping_loss
+from ..ops.encodings import encode_window
+
+__all__ = ["TrainState", "make_train_step", "make_sequence_forward"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    model_state: Any
+
+
+def make_sequence_forward(model, res, num_bins, round_encoding=False,
+                          remat=True, augment=True):
+    """Build f(params, model_state, events, valid, aug_flags) ->
+    (new_state, flows_per_scale [B,T,H,W,2], event_list, pol_mask, event_mask).
+
+    events: [B, T, N, 4] raw windows (ts any scale, y, x, p in {-1,+1});
+    valid: [B, T, N] mask; aug_flags: [B, 3].
+    """
+
+    def body(state, xt):
+        params, (ev, va, aug) = xt[0], xt[1]
+        ev = augment_events(ev, aug, res) if augment else ev
+        enc = encode_window(ev, res, num_bins, valid=va,
+                            round_ts=round_encoding)
+        out, state = model.apply(
+            params, enc["event_voxel"], enc["event_cnt"], state
+        )
+        flows = tuple(out["flow"])
+        return state, (flows, enc["event_list"], enc["pol_mask"],
+                       enc["event_mask"])
+
+    if remat:
+        body = jax.checkpoint(body)
+
+    def sequence_forward(params, model_state, events, valid, aug_flags):
+        ev_t = jnp.moveaxis(events, 1, 0)  # [T,B,N,4]
+        va_t = jnp.moveaxis(valid, 1, 0)
+        t = ev_t.shape[0]
+        aug_t = jnp.broadcast_to(aug_flags, (t,) + aug_flags.shape)
+
+        def scan_body(state, xs):
+            return body(state, (params, xs))
+
+        state, (flows, ev_list, pol, mask) = jax.lax.scan(
+            scan_body, model_state, (ev_t, va_t, aug_t)
+        )
+        # [T, B, ...] -> [B, T, ...]
+        flows = tuple(jnp.moveaxis(f, 0, 1) for f in flows)
+        ev_list = jnp.moveaxis(ev_list, 0, 1)
+        pol = jnp.moveaxis(pol, 0, 1)
+        mask = jnp.moveaxis(mask, 0, 1)
+        return state, flows, ev_list, pol, mask
+
+    return sequence_forward
+
+
+def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
+                    round_encoding=False, remat=True, augment=True):
+    """Build the jittable train step.
+
+    step(state: TrainState, events [B,T,N,4], valid [B,T,N],
+         aug_flags [B,3], reset: bool/scalar) -> (TrainState, loss)
+    """
+    seq_fwd = make_sequence_forward(
+        model, res, num_bins, round_encoding=round_encoding, remat=remat,
+        augment=augment,
+    )
+
+    def loss_fn(params, model_state, events, valid, aug_flags):
+        new_state, flows, ev_list, pol, mask = seq_fwd(
+            params, model_state, events, valid, aug_flags
+        )
+        loss = event_warping_loss(list(flows), ev_list, pol, mask, loss_cfg)
+        return loss, new_state
+
+    def train_step(state: TrainState, events, valid, aug_flags, reset):
+        # masked state reset at sequence changes (train_flow.py:100-105)
+        model_state = jax.tree_util.tree_map(
+            lambda s: jnp.where(reset, jnp.zeros_like(s), s),
+            state.model_state,
+        )
+        (loss, new_model_state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, model_state, events, valid, aug_flags)
+        updates, new_opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        # truncated BPTT boundary (train_flow.py:170)
+        new_model_state = jax.lax.stop_gradient(new_model_state)
+        return TrainState(new_params, new_opt_state, new_model_state), loss
+
+    return train_step
+
+
+def init_train_state(model, optimizer, key, batch, res, num_bins):
+    """Initialize params / optimizer / recurrent state for a model."""
+    h, w = res
+    model_state = model.zero_state(batch, h, w)
+    voxel = jnp.zeros((batch, h, w, num_bins))
+    cnt = jnp.zeros((batch, h, w, 2))
+    params = model.init(key, voxel, cnt, model_state)
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, model_state)

@@ -4,7 +4,9 @@ sharding/collective tests exercise pjit/shard_map without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment presets JAX_PLATFORMS=axon (TPU);
+# unit tests run on a virtual 8-device CPU mesh instead
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +16,7 @@ os.environ.setdefault("EVFLOW_SCATTER_IMPL", "xla")
 
 import jax  # noqa: E402
 
+# the axon sitecustomize force-selects the TPU backend via jax.config, which
+# overrides the env var — override it back after import
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
