@@ -2,6 +2,7 @@
 ``eval(config["model"]["name"])`` pattern (reference: train_flow.py:81,
 eval_flow.py:93; SURVEY.md §5 'sharp edges')."""
 
+from .evflownet import UNET_VARIANTS, make_unet_model
 from .firenet import FIRENET_VARIANTS, make_firenet
 
 __all__ = ["get_model", "available_models"]
@@ -10,6 +11,8 @@ _FACTORIES = {}
 
 for _name in FIRENET_VARIANTS:
     _FACTORIES[_name] = make_firenet
+for _name in UNET_VARIANTS:
+    _FACTORIES[_name] = make_unet_model
 
 
 def register_model(name, factory):
