@@ -1,0 +1,75 @@
+"""Reference-schema HDF5 writer (for tests, conversion tools, synthetic
+datasets).
+
+Schema (inferred from the reference reader, dataloader/h5.py:66-87,
+127-134, 303, 314):
+  /events/xs, /events/ys, /events/ts, /events/ps   (ps in {0, 1})
+  file attrs: t0 (first event timestamp), duration (seconds)
+  /images/<name> datasets with attr ``timestamp``      (optional)
+  /flow_dt1/<name>, /flow_dt4/<name> [2, H, W] with attr ``timestamp``
+"""
+
+import h5py
+import numpy as np
+
+__all__ = ["write_h5_sequence", "write_synthetic_sequence"]
+
+
+def write_h5_sequence(path, xs, ys, ts, ps, frames=None, flow_dt1=None,
+                      flow_dt4=None):
+    """Write one sequence. ``ps`` in {0,1}; ``frames``/``flow_*`` are lists
+    of (timestamp, array)."""
+    with h5py.File(path, "w") as f:
+        f.create_dataset("events/xs", data=np.asarray(xs))
+        f.create_dataset("events/ys", data=np.asarray(ys))
+        f.create_dataset("events/ts", data=np.asarray(ts, np.float64))
+        f.create_dataset("events/ps", data=np.asarray(ps))
+        f.attrs["t0"] = float(ts[0]) if len(ts) else 0.0
+        f.attrs["duration"] = float(ts[-1] - ts[0]) if len(ts) else 0.0
+        for group_name, entries in (
+            ("images", frames),
+            ("flow_dt1", flow_dt1),
+            ("flow_dt4", flow_dt4),
+        ):
+            if entries:
+                for i, (t, arr) in enumerate(entries):
+                    d = f.create_dataset(
+                        f"{group_name}/{group_name}_{i:06d}",
+                        data=np.asarray(arr),
+                    )
+                    d.attrs["timestamp"] = float(t)
+
+
+def write_synthetic_sequence(path, res=(32, 32), n_events=8000, duration=1.0,
+                             velocity=(2.0, 4.0), seed=0, gt_flow_hz=None,
+                             t0=10.0):
+    """Constant-velocity synthetic sequence in the reference schema.
+
+    velocity is (vy, vx) px/second. When ``gt_flow_hz`` is set, writes
+    flow_dt1 maps (constant GT displacement per frame interval) so
+    gtflow_dt1 / AEE evaluation paths can run end-to-end.
+    """
+    from .synthetic import constant_flow_window
+
+    rng = np.random.default_rng(seed)
+    h, w = res
+    win = constant_flow_window(
+        rng, n_events, res, (velocity[0] * duration, velocity[1] * duration),
+        sharp_points=24,
+    )
+    ts = t0 + win[:, 0] * duration
+    ys, xs = win[:, 1], win[:, 2]
+    ps = (win[:, 3] > 0).astype(np.uint8)
+
+    flow_dt1 = None
+    if gt_flow_hz:
+        n_maps = int(duration * gt_flow_hz) + 1
+        dt = 1.0 / gt_flow_hz
+        # GT maps store per-interval pixel displacement (x, y), shape [2,H,W]
+        fm = np.zeros((2, h, w), np.float32)
+        fm[0] = velocity[1] * dt
+        fm[1] = velocity[0] * dt
+        flow_dt1 = [(t0 + i * dt, fm) for i in range(n_maps)]
+
+    write_h5_sequence(path, xs, ys, ts, ps, flow_dt1=flow_dt1)
+    return path

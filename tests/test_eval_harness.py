@@ -1,0 +1,130 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from event_flow_tpu.config.parser import default_config, merge_dicts
+from event_flow_tpu.data.h5 import EventStream
+from event_flow_tpu.data.schema import write_synthetic_sequence
+from event_flow_tpu.eval.harness import Evaluator
+
+RES = (32, 32)
+VEL = (8.0, 16.0)  # (vy, vx) px/s
+
+
+class ConstFlowModel:
+    """Stub with the model interface that predicts a constant flow map."""
+
+    def __init__(self, fx, fy):
+        self.fx, self.fy = fx, fy
+
+    def zero_state(self, b, h, w, dtype=jnp.float32):
+        return ()
+
+    def apply(self, params, voxel, cnt, state, log=False):
+        b, h, w, _ = cnt.shape
+        fm = jnp.zeros((b, h, w, 2)).at[..., 0].set(self.fx).at[..., 1].set(self.fy)
+        return {"flow": [fm], "activity": None}, state
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("h5eval")
+    for i in range(2):
+        write_synthetic_sequence(
+            str(root / f"seq{i}.h5"), res=RES, n_events=6000, duration=1.0,
+            velocity=VEL, seed=i, gt_flow_hz=10, t0=1.0 + i,
+        )
+    return str(root)
+
+
+def _config(dataset, mode, window, window_eval=None, metrics=("FWL", "RSAT")):
+    cfg = default_config()
+    merge_dicts(
+        {
+            "data": {
+                "path": dataset,
+                "mode": mode,
+                "window": window,
+                "window_eval": window_eval or window,
+            },
+            "model": {"num_bins": 2, "round_encoding": False},
+            "metrics": {"name": list(metrics), "flow_scaling": 32},
+            "loader": {
+                "resolution": list(RES),
+                "batch_size": 1,
+                "augment": [],
+                "seed": 0,
+            },
+            "hot_filter": {"enabled": False},
+        },
+        cfg,
+    )
+    return cfg
+
+
+def test_fwl_rsat_zero_flow_is_unity(dataset):
+    cfg = _config(dataset, "events", 2000)
+    model = ConstFlowModel(0.0, 0.0)
+    ev = Evaluator(cfg, model, params={})
+    stream = EventStream(cfg)
+    results = ev.run(stream, max_batches=4)
+    stream.close()
+    for fname, val in results["FWL"].items():
+        assert val == pytest.approx(1.0, abs=1e-4)
+    for fname, val in results["RSAT"].items():
+        assert val == pytest.approx(1.0, abs=1e-4)
+
+
+def test_fwl_improves_with_true_flow(dataset):
+    cfg = _config(dataset, "events", 2000)
+    # dt per 2000-event window ~ 1/3 s; displacement/window = v * dt;
+    # normalized flow = displacement / flow_scaling
+    dt = 1.0 / 3.0
+    model = ConstFlowModel(VEL[1] * dt / 32.0, VEL[0] * dt / 32.0)
+    ev = Evaluator(cfg, model, params={})
+    stream = EventStream(cfg)
+    results = ev.run(stream, max_batches=4)
+    stream.close()
+    assert all(v > 1.02 for v in results["FWL"].values()), results
+    assert all(v < 1.0 for v in results["RSAT"].values()), results
+
+
+def test_window_eval_accumulation(dataset):
+    # window 1000, window_eval 2000 -> metrics every 2 windows
+    cfg = _config(dataset, "events", 1000, window_eval=2000)
+    model = ConstFlowModel(0.0, 0.0)
+    ev = Evaluator(cfg, model, params={})
+    assert ev.k_windows == 2
+    stream = EventStream(cfg)
+    results = ev.run(stream, max_batches=4)
+    stream.close()
+    its = sum(
+        e["FWL"]["it"] for e in ev._results.values() if "FWL" in e
+    )
+    assert its == 2  # 4 windows -> 2 metric evaluations
+
+
+def test_aee_zero_flow_matches_gt_magnitude(dataset):
+    cfg = _config(dataset, "gtflow_dt1", 1, metrics=("AEE",))
+    model = ConstFlowModel(0.0, 0.0)
+    ev = Evaluator(cfg, model, params={})
+    stream = EventStream(cfg)
+    results = ev.run(stream, max_batches=6)
+    stream.close()
+    # GT per dt1 interval: (vx*dt, vy*dt) = (1.6, 0.8) px -> |gt| = 1.789
+    expected = np.hypot(VEL[1] * 0.1, VEL[0] * 0.1)
+    for fname, val in results["AEE"].items():
+        assert val == pytest.approx(expected, rel=1e-3)
+    for fname, val in results["AEE_percent"].items():
+        assert 0.0 <= val <= 1.0
+
+
+def test_results_keyed_per_file(dataset):
+    cfg = _config(dataset, "events", 2000)
+    model = ConstFlowModel(0.0, 0.0)
+    ev = Evaluator(cfg, model, params={})
+    stream = EventStream(cfg)
+    results = ev.run(stream)
+    stream.close()
+    assert set(results["FWL"]) <= {"seq0.h5", "seq1.h5"}
+    assert len(results["FWL"]) >= 1

@@ -1,0 +1,160 @@
+import numpy as np
+import pytest
+
+from event_flow_tpu.config.parser import default_config, merge_dicts
+from event_flow_tpu.data.h5 import EventStream, H5SequenceFile, find_h5_files
+from event_flow_tpu.data.schema import write_synthetic_sequence
+
+RES = (32, 32)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("h5data")
+    for i in range(3):
+        write_synthetic_sequence(
+            str(root / f"seq{i}.h5"), res=RES, n_events=5000, duration=1.0,
+            velocity=(2.0, 4.0), seed=i, gt_flow_hz=10, t0=5.0 * i + 1.0,
+        )
+    return str(root)
+
+
+def _config(dataset, mode="events", window=500, batch_size=2, **extra):
+    cfg = default_config()
+    merge_dicts(
+        {
+            "data": {"path": dataset, "mode": mode, "window": window, **extra},
+            "loader": {
+                "resolution": list(RES),
+                "batch_size": batch_size,
+                "augment": [],
+                "seed": 0,
+            },
+        },
+        cfg,
+    )
+    return cfg
+
+
+def test_find_and_open(dataset):
+    files = find_h5_files(dataset)
+    assert len(files) == 3
+    f = H5SequenceFile(files[0], "events")
+    assert f.num_events == 5000
+    assert f.t0 == pytest.approx(1.0, abs=0.01)  # first event timestamp
+    xs, ys, ts, ps = f.get_events(0, 100)
+    assert ts[0] == 0.0  # shifted to t0=0
+    assert set(np.unique(ps)).issubset({-1.0, 1.0})
+    f.close()
+
+
+def test_events_mode_windows(dataset):
+    stream = EventStream(_config(dataset))
+    b = stream.next_batch()
+    assert b["events"].shape == (2, 500, 4)
+    assert b["valid"].shape == (2, 500)
+    assert b["valid"].sum() == 1000  # all events valid in events mode
+    # timestamps within a window are ordered
+    ts = b["events"][0, :, 0]
+    assert np.all(np.diff(ts) >= 0)
+    stream.close()
+
+
+def test_events_mode_rollover_and_new_seq(dataset):
+    stream = EventStream(_config(dataset, window=2000))
+    seqs = set()
+    rollovers = 0
+    for _ in range(8):
+        b = stream.next_batch()
+        if b["new_seq"]:
+            rollovers += 1
+        seqs.add(stream.slot_filename(0))
+    # 5000 events / 2000-event windows -> rollover after 2 windows
+    assert rollovers >= 1
+    assert len(seqs) >= 2  # slot advanced to another file
+    stream.close()
+
+
+def test_rollover_advances_to_unused_file(dataset):
+    stream = EventStream(_config(dataset, window=2000, batch_size=2))
+    # slot files start as seq0, seq1; first rollover must pick index
+    # max(batch_idx)+1 = 2 -> seq2 (reference h5.py:246)
+    for _ in range(3):
+        stream.next_batch()
+    assert stream.batch_idx != [0, 1]
+    assert max(stream.batch_idx) >= 2
+    stream.close()
+
+
+def test_time_mode(dataset):
+    stream = EventStream(_config(dataset, mode="time", window=0.1))
+    b = stream.next_batch()
+    n_valid = int(b["valid"][0].sum())
+    assert 0 < n_valid <= stream.max_events
+    ts = b["events"][0, :n_valid, 0]
+    assert ts[-1] - ts[0] <= 0.11
+    stream.close()
+
+
+def test_gtflow_mode(dataset):
+    stream = EventStream(
+        _config(dataset, mode="gtflow_dt1", window=1, batch_size=1)
+    )
+    b = stream.next_batch()
+    assert "gtflow" in b
+    assert b["gtflow"].shape == (1, *RES, 2)
+    # constant GT: vx*dt = 4*0.1 = 0.4, vy*dt = 0.2
+    np.testing.assert_allclose(b["gtflow"][0, 0, 0], [0.4, 0.2], atol=1e-6)
+    assert b["dt_gt"][0] == pytest.approx(0.1)
+    assert b["dt_input"][0] > 0
+    stream.close()
+
+
+def test_gtflow_fractional_window(dataset):
+    stream = EventStream(
+        _config(dataset, mode="gtflow_dt1", window=0.5, batch_size=1)
+    )
+    b1 = stream.next_batch()
+    b2 = stream.next_batch()
+    n1 = int(b1["valid"].sum())
+    n2 = int(b2["valid"].sum())
+    assert n1 > 0 and n2 > 0
+    # half-windows contain roughly half the events of a full interval
+    full = EventStream(
+        _config(dataset, mode="gtflow_dt1", window=1, batch_size=1)
+    )
+    nf = int(full.next_batch()["valid"].sum())
+    assert abs((n1 + n2) - nf) < 0.2 * nf + 30
+    full.close()
+    stream.close()
+
+
+def test_augmentation_flags_drawn(dataset):
+    cfg = _config(dataset, window=2000)
+    cfg["loader"]["augment"] = ["Horizontal", "Vertical", "Polarity"]
+    cfg["loader"]["augment_prob"] = [1.0, 0.0, 1.0]
+    stream = EventStream(cfg)
+    b = stream.next_batch()
+    np.testing.assert_allclose(b["aug_flags"][:, 0], 1.0)  # H always
+    np.testing.assert_allclose(b["aug_flags"][:, 1], 0.0)  # V never
+    np.testing.assert_allclose(b["aug_flags"][:, 2], 1.0)  # P always
+    stream.close()
+
+
+def test_gtflow_augmentation_sign_flip(dataset):
+    cfg = _config(dataset, mode="gtflow_dt1", window=1, batch_size=1)
+    cfg["loader"]["augment"] = ["Horizontal"]
+    cfg["loader"]["augment_prob"] = [1.0]
+    stream = EventStream(cfg)
+    b = stream.next_batch()
+    # horizontal flip negates the x component (base.py:138-141)
+    np.testing.assert_allclose(b["gtflow"][0, 0, 0], [-0.4, 0.2], atol=1e-6)
+    stream.close()
+
+
+def test_shuffle_keeps_all_files(dataset):
+    stream = EventStream(_config(dataset))
+    before = set(stream.files)
+    stream.shuffle()
+    assert set(stream.files) == before
+    stream.close()
