@@ -1,0 +1,134 @@
+"""Evaluation / inference entry point.
+
+TPU-native rebuild of the reference evaluator (reference: eval_flow.py):
+same YAML configs and metric protocols (AEE on gtflow modes, FWL/RSAT on
+events mode), per-file result YAMLs, optional visualization dumps.
+
+Usage:
+  python eval_flow.py <runid> --config configs/eval_ECD.yml
+  python eval_flow.py <runid> --config configs/eval_MVSEC.yml --debug
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def test(args):
+    from event_flow_tpu.config.parser import YAMLConfig
+    from event_flow_tpu.data.h5 import EventStream
+    from event_flow_tpu.eval.harness import Evaluator
+    from event_flow_tpu.models.registry import get_model
+    from event_flow_tpu.ops.hot_filter import init_hot_state
+    from event_flow_tpu.utils import checkpoint as ckpt
+    from event_flow_tpu.utils.tracking import (
+        Tracker,
+        create_model_dir,
+        log_eval_config,
+        log_eval_results,
+    )
+    from event_flow_tpu.utils.visualization import Visualization
+
+    parser = YAMLConfig(args.config)
+    config = parser.config
+
+    # merge the stored training run's params under the eval config
+    run_dir = os.path.join(args.runs_root, args.runid)
+    stored = Tracker(runid=args.runid, runs_root=args.runs_root).load_params()
+    for key in ("model",):
+        merged = dict(stored.get(key, {}))
+        merged.update(config.get(key, {}))
+        config[key] = merged
+
+    # asserts (reference: eval_flow.py:53-72)
+    metrics = config.get("metrics", {}).get("name", [])
+    if "AEE" in metrics:
+        assert config["data"]["mode"] in ("gtflow_dt1", "gtflow_dt4"), (
+            "AEE computation not possible without ground truth mode"
+        )
+        assert config["data"]["window"] <= 1, (
+            "AEE computation not compatible with window > 1"
+        )
+        assert np.isclose((1.0 / config["data"]["window"]) % 1.0, 0.0), (
+            "AEE computation not compatible with windows whose inverse is "
+            "not a round number"
+        )
+    if config["loader"]["batch_size"] > 1:
+        config.setdefault("vis", {})["enabled"] = False
+        config["vis"]["store"] = False
+
+    # results dir + eval id (reference: eval_flow.py:74-82)
+    if not args.debug:
+        path_results = create_model_dir(args.path_results, args.runid)
+        eval_id = log_eval_config(path_results, args.runid, config)
+    else:
+        path_results, eval_id = None, -1
+
+    # model + restored params
+    model = get_model(config["model"]["name"], config["model"])
+    res = tuple(config["loader"]["resolution"])
+    b = config["loader"]["batch_size"]
+    import jax
+    import jax.numpy as jnp
+
+    state = model.zero_state(b, *res)
+    voxel = jnp.zeros((b, *res, config["model"]["num_bins"]))
+    cnt = jnp.zeros((b, *res, 2))
+    params = model.init(jax.random.PRNGKey(0), voxel, cnt, state)
+    path = ckpt.latest_checkpoint(run_dir)
+    if path is not None:
+        restored = ckpt.restore_checkpoint(path)
+        params = restored["params"]
+        print(f"restored params from {path}")
+    else:
+        print("WARNING: no checkpoint found; evaluating random init")
+
+    vis = None
+    if config.get("vis", {}).get("enabled") or config.get("vis", {}).get("store"):
+        vis = Visualization(config, eval_id=eval_id, path_results=path_results)
+
+    evaluator = Evaluator(config, model, params)
+    stream = EventStream(config)
+    hot_state = init_hot_state(b, res)
+    model_state = state
+    while stream.seq_num < len(stream.files):
+        batch = stream.next_batch()
+        if stream.seq_num >= len(stream.files):
+            break
+        model_state, hot_state, win = evaluator.process_batch(
+            stream, params, model_state, hot_state, batch
+        )
+        if vis is not None:
+            flow_vis = np.asarray(win["flow"])
+            if model.mask_output:
+                flow_vis = flow_vis * np.asarray(win["event_mask"])
+            if config["vis"].get("enabled"):
+                vis.update(None, flow_vis, win["iwe"])
+            if config["vis"].get("store"):
+                vis.store(
+                    stream.slot_filename(0).split(".")[0],
+                    None, flow_vis, win["iwe"],
+                    ts=stream.last_proc_timestamp,
+                )
+    stream.close()
+
+    results = evaluator.results()
+    for metric, vals in results.items():
+        for fname, v in sorted(vals.items()):
+            print(f"{metric:12s} {fname:30s} {v:.6f}")
+    if not args.debug:
+        log_eval_results(path_results, eval_id, results)
+        print(f"results stored under {path_results}/metrics_{eval_id}.yml")
+    return results
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("runid", help="training run id (under --runs_root)")
+    ap.add_argument("--config", default="configs/eval_flow.yml")
+    ap.add_argument("--runs_root", default="runs")
+    ap.add_argument("--path_results", default="results_inference/")
+    ap.add_argument("--debug", action="store_true", help="don't save stuff")
+    args = ap.parse_args()
+    test(args)

@@ -1,0 +1,176 @@
+"""Host-side training loop: buffer windows, drive the jitted scan step,
+manage epochs / resets / checkpoints.
+
+Mirrors the reference's training protocol (reference: train_flow.py:89-192):
+  - accumulate T = window_loss/window windows, then one optimizer update
+    (the reference's num_events >= window_loss gate, train_flow.py:141)
+  - a sequence rollover (``new_seq``) discards the partial accumulation and
+    resets recurrent state before the next update (train_flow.py:100-105 —
+    the reset happens before the rolled batch is consumed)
+  - per-epoch (one pass over the file list) mean-loss logging and
+    best-model checkpointing (train_flow.py:107-127)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..loss.warping import LossConfig
+from ..models.registry import get_model
+from ..utils import checkpoint as ckpt
+from ..utils.tracking import Tracker
+from .optim import make_optimizer
+from .step import TrainState, init_train_state, make_train_step
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(self, config, tracker: Tracker = None, mesh=None):
+        self.config = config
+        self.res = tuple(config["loader"]["resolution"])
+        self.num_bins = config["model"]["num_bins"]
+        self.batch_size = config["loader"]["batch_size"]
+        window = config["data"]["window"]
+        window_loss = config["data"].get("window_loss", window)
+        self.t_windows = max(1, int(round(window_loss / window)))
+        self.tracker = tracker
+
+        self.model = get_model(config["model"]["name"], config["model"])
+        self.tx = make_optimizer(
+            config["optimizer"]["name"],
+            config["optimizer"]["lr"],
+            clip_grad=config.get("loss", {}).get("clip_grad"),
+        )
+        loss_cfg = LossConfig(
+            resolution=self.res,
+            flow_scaling=float(max(self.res)),
+            flow_regul_weight=config["loss"]["flow_regul_weight"],
+            smoothing_mask=config["model"].get("mask_output", False),
+            overwrite_intermediate=config["loss"].get(
+                "overwrite_intermediate", False
+            ),
+        )
+        self.loss_cfg = loss_cfg
+        store_grads = config.get("vis", {}).get("store_grads", False)
+        self.store_grads = store_grads
+        step = make_train_step(
+            self.model, self.tx, self.res, self.num_bins, loss_cfg,
+            round_encoding=config["model"].get("round_encoding", False),
+            with_grad_stats=store_grads,
+        )
+        if mesh is not None:
+            from ..parallel.mesh import shard_train_step
+
+            self.step = shard_train_step(step, mesh)
+        else:
+            self.step = jax.jit(step)
+        self.mesh = mesh
+
+        self.state = init_train_state(
+            self.model, self.tx, jax.random.PRNGKey(
+                config["loader"].get("seed", 0)
+            ),
+            self.batch_size, self.res, self.num_bins,
+        )
+        if mesh is not None:
+            from ..parallel.mesh import shard_state
+
+            self.state = shard_state(self.state, mesh)
+
+        # accumulation buffers
+        self._events = []
+        self._valid = []
+        self._pending_reset = True  # fresh start
+        self.train_loss = 0.0
+        self.best_loss = 1.0e6
+        self.updates = 0
+
+    def load_params(self, run_dir):
+        """Restore params from a previous run's best checkpoint
+        (reference: utils/utils.py:8-25 via --prev_runid)."""
+        path = ckpt.latest_checkpoint(run_dir)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoints under {run_dir}")
+        restored = ckpt.restore_checkpoint(path, target={"params": self.state.params})
+        self.state = TrainState(
+            restored["params"], self.state.opt_state, self.state.model_state
+        )
+
+    def feed(self, batch):
+        """Feed one stream batch; returns the loss when an update fired,
+        else None."""
+        if batch.get("new_seq"):
+            # drop the partial loss window, reset recurrent state
+            self._events, self._valid = [], []
+            self._pending_reset = True
+        self._events.append(batch["events"])
+        self._valid.append(batch["valid"])
+        self._aug = batch["aug_flags"]
+        if len(self._events) < self.t_windows:
+            return None
+        ev = jnp.asarray(np.stack(self._events, axis=1))  # [B,T,N,4]
+        va = jnp.asarray(np.stack(self._valid, axis=1))
+        aug = jnp.asarray(self._aug)
+        reset = jnp.asarray(self._pending_reset)
+        out = self.step(self.state, ev, va, aug, reset)
+        if self.store_grads:
+            self.state, loss, (stats, gnorm) = out
+        else:
+            self.state, loss = out
+            stats = None
+        self._events, self._valid = [], []
+        self._pending_reset = False
+        loss_val = float(loss)
+        self.train_loss += loss_val
+        self.updates += 1
+        if self.tracker and stats is not None:
+            rows = [
+                (name, *np.asarray(v).tolist())
+                for name, v in _flatten_stats(stats)
+            ]
+            self.tracker.save_csv(rows, "grads_w.csv")
+        return loss_val
+
+    def end_epoch(self, stream, epoch):
+        """Epoch bookkeeping: mean loss, best checkpoint
+        (reference: train_flow.py:107-127)."""
+        samples = max(stream.samples, 1)
+        mean_loss = self.train_loss / (samples + 1)
+        if self.tracker:
+            self.tracker.log_metric("loss", mean_loss, step=epoch)
+        if mean_loss < self.best_loss:
+            self.best_loss = mean_loss
+            if self.tracker:
+                ckpt.save_checkpoint(
+                    self.tracker.checkpoint_dir("best"),
+                    {"params": jax.device_get(self.state.params)},
+                )
+        stream.samples = 0
+        self.train_loss = 0.0
+        return mean_loss
+
+    def save_full_checkpoint(self, stream, epoch, tag="latest"):
+        """Full resumable checkpoint: params + optimizer + stream cursor."""
+        if not self.tracker:
+            return
+        ckpt.save_checkpoint(
+            self.tracker.checkpoint_dir(tag),
+            {
+                "params": jax.device_get(self.state.params),
+                "opt_state": jax.device_get(self.state.opt_state),
+                "epoch": epoch,
+                "batch_idx": list(stream.batch_idx),
+                "batch_row": [float(r) for r in stream.batch_row],
+                "files": list(stream.files),
+            },
+        )
+
+
+def _flatten_stats(stats):
+    flat = jax.tree_util.tree_flatten_with_path(stats)[0]
+    for path, v in flat:
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        yield name, v

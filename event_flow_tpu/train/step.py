@@ -84,11 +84,15 @@ def make_sequence_forward(model, res, num_bins, round_encoding=False,
 
 
 def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
-                    round_encoding=False, remat=True, augment=True):
+                    round_encoding=False, remat=True, augment=True,
+                    with_grad_stats=False):
     """Build the jittable train step.
 
     step(state: TrainState, events [B,T,N,4], valid [B,T,N],
          aug_flags [B,3], reset: bool/scalar) -> (TrainState, loss)
+    With ``with_grad_stats``, returns (TrainState, loss, stats) where stats
+    is a pytree of per-tensor (mean|g|, min|g|, max|g|) plus the global
+    norm — the reference's gradient-health CSVs (utils/gradients.py:4-11).
     """
     seq_fwd = make_sequence_forward(
         model, res, num_bins, round_encoding=round_encoding, remat=remat,
@@ -117,7 +121,17 @@ def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
         new_params = optax.apply_updates(state.params, updates)
         # truncated BPTT boundary (train_flow.py:170)
         new_model_state = jax.lax.stop_gradient(new_model_state)
-        return TrainState(new_params, new_opt_state, new_model_state), loss
+        new_state = TrainState(new_params, new_opt_state, new_model_state)
+        if with_grad_stats:
+            stats = jax.tree_util.tree_map(
+                lambda g: jnp.stack(
+                    [jnp.abs(g).mean(), jnp.abs(g).min(), jnp.abs(g).max()]
+                ),
+                grads,
+            )
+            gnorm = optax.global_norm(grads)
+            return new_state, loss, (stats, gnorm)
+        return new_state, loss
 
     return train_step
 

@@ -1,0 +1,141 @@
+"""Training entry point.
+
+TPU-native rebuild of the reference trainer (reference: train_flow.py):
+same YAML configs, same protocol (window accumulation, sequence resets,
+per-epoch best-model checkpointing), with the whole loss window compiled
+into one jitted lax.scan step.
+
+Usage:
+  python train_flow.py --config configs/train_SNN.yml
+  python train_flow.py --config configs/train_ANN.yml --prev_runid <id>
+  python train_flow.py --config configs/train_SNN.yml --synthetic \
+      --max_updates 50        # no dataset needed (constant-flow stream)
+Optional data parallelism over all visible devices: --dp.
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def train(args):
+    from event_flow_tpu.config.parser import YAMLConfig
+    from event_flow_tpu.train.loop import Trainer
+    from event_flow_tpu.utils.tracking import Tracker
+
+    parser = YAMLConfig(args.config)
+    config = parser.config
+    if config["data"]["mode"] == "frames":
+        raise ValueError(
+            "Training pipeline not compatible with frames mode "
+            "(reference: train_flow.py:43-45)"
+        )
+
+    tracker = Tracker(config.get("experiment", "Default"),
+                      runs_root=args.runs_root)
+    tracker.log_params(config)
+    tracker.save_diff("train_diff.txt")
+    print(f"run dir: {tracker.dir}")
+
+    mesh = None
+    if args.dp:
+        import jax
+
+        from event_flow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(len(jax.devices()))
+        print(f"data parallel over {len(jax.devices())} devices")
+
+    trainer = Trainer(config, tracker=tracker, mesh=mesh)
+    if args.prev_runid:
+        trainer.load_params(os.path.join(args.runs_root, args.prev_runid))
+        print(f"restored params from {args.prev_runid}")
+
+    # stream
+    if args.synthetic:
+        stream = _SyntheticStream(config)
+    else:
+        from event_flow_tpu.data.h5 import EventStream
+
+        stream = EventStream(config)
+        stream.shuffle()
+
+    n_epochs = config["loader"].get("n_epochs", 100)
+    epoch = 0
+    verbose = config.get("vis", {}).get("verbose", True)
+    while epoch < n_epochs:
+        batch = stream.next_batch()
+        loss = trainer.feed(batch)
+        if loss is not None:
+            stream.samples += config["loader"]["batch_size"]
+            if verbose:
+                denom = stream.samples + 1
+                print(
+                    f"Epoch {epoch:04d} [{stream.seq_num:03d}/"
+                    f"{len(stream.files):03d}] loss "
+                    f"{trainer.train_loss / denom:.6f}",
+                    end="\r",
+                )
+            if args.max_updates and trainer.updates >= args.max_updates:
+                print(f"\nstopping after {trainer.updates} updates")
+                trainer.end_epoch(stream, epoch)
+                trainer.save_full_checkpoint(stream, epoch)
+                return tracker.runid
+        if stream.seq_num >= len(stream.files):
+            mean = trainer.end_epoch(stream, epoch)
+            trainer.save_full_checkpoint(stream, epoch)
+            if verbose:
+                print(f"\nEpoch {epoch:04d} done, mean loss {mean:.6f}")
+            stream.seq_num = stream.seq_num % len(stream.files)
+            epoch += 1
+    return tracker.runid
+
+
+class _SyntheticStream:
+    """Stream-shaped wrapper over the synthetic constant-flow generator,
+    for datasetless smoke training."""
+
+    def __init__(self, config):
+        from event_flow_tpu.data.synthetic import synthetic_window_stream
+
+        self.batch_size = config["loader"]["batch_size"]
+        self.files = ["synthetic"]
+        self.seq_num = 0
+        self.samples = 0
+        self.batch_idx = list(range(self.batch_size))
+        self.batch_row = [0.0] * self.batch_size
+        n = int(config["data"]["window"])
+        res = tuple(config["loader"]["resolution"])
+        self._gen = synthetic_window_stream(
+            config["loader"].get("seed", 0), self.batch_size, n, res, 1
+        )
+        self._count = 0
+
+    def next_batch(self):
+        ev = next(self._gen)[:, 0]
+        self._count += 1
+        new_seq = self._count % 64 == 0  # periodic pseudo-rollover
+        if new_seq:
+            self.seq_num += 1
+        return {
+            "events": ev,
+            "valid": np.ones(ev.shape[:2], np.float32),
+            "aug_flags": np.zeros((self.batch_size, 3), np.float32),
+            "new_seq": new_seq,
+        }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/train_flow.yml")
+    ap.add_argument("--prev_runid", default="",
+                    help="restore params from a previous run")
+    ap.add_argument("--runs_root", default="runs")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="train on the synthetic constant-flow stream")
+    ap.add_argument("--max_updates", type=int, default=0)
+    ap.add_argument("--dp", action="store_true",
+                    help="data-parallel over all visible devices")
+    args = ap.parse_args()
+    train(args)
