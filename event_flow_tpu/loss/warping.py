@@ -33,7 +33,11 @@ from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 
-from ..ops.iwe import gather_event_flow, get_interpolation, interpolate_multi
+from ..ops.iwe import (
+    gather_event_flow,
+    get_interpolation_compact,
+    interpolate_compact,
+)
 
 __all__ = ["LossConfig", "event_warping_loss"]
 
@@ -65,18 +69,21 @@ def _ts_image_loss(event_list_flat, event_flow_flat, pol_flat, tref, max_ts,
     pos/neg count and pos/neg (tref-relative) timestamp images in a single
     channelled scatter, normalize, square, sum."""
     res = cfg.resolution
-    idx, w = get_interpolation(
-        event_list_flat, event_flow_flat, tref, res, cfg.flow_scaling,
-        round_idx=False,
-    )  # [B, 4M], [B, 4M, 1]
+    # compact bilinear scatter: one index row per event, the 4 neighbor
+    # weights x 4 payload channels ride as a 16-channel payload
+    # (4x fewer scatter rows than the reference's 4N expansion)
+    idx, w4 = get_interpolation_compact(
+        event_list_flat, event_flow_flat, tref, res, cfg.flow_scaling
+    )  # [B, M], [B, M, 4]
     ts = event_list_flat[..., 0:1]
     # forward warp accumulates ts, backward accumulates (max_ts - ts)
     # (flow.py:206-211 vs :239-244)
     ts_w = ts if tref != 0 else (max_ts - ts)
-    ts4 = jnp.concatenate([ts_w] * 4, axis=1)
-    pol4 = jnp.concatenate([pol_flat] * 4, axis=1)  # [B, 4M, 2]
-    stack = jnp.concatenate([w * pol4, w * ts4 * pol4], axis=-1)  # [B,4M,4]
-    img = interpolate_multi(idx, stack, res)  # [B,H,W,4]
+    payload = jnp.concatenate([pol_flat, ts_w * pol_flat], axis=-1)  # [B,M,4]
+    stack = (w4[..., :, None] * payload[..., None, :]).reshape(
+        *payload.shape[:2], 16
+    )
+    img = interpolate_compact(idx, stack, res, 4)  # [B,H,W,4]
     iwe = img[..., 0:2]
     iwe_ts = img[..., 2:4]
 

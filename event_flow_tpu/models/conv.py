@@ -17,13 +17,31 @@ Init distributions (all cited to the reference):
 """
 
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["Conv2d", "ConvTranspose2dX2", "torch_conv_kernel_init"]
+__all__ = ["Conv2d", "ConvTranspose2dX2", "torch_conv_kernel_init",
+           "set_conv_compute_dtype"]
+
+# Conv compute precision policy: 'float32' (default, parity) or 'bfloat16'
+# (TPU MXU fast path; accumulation stays f32 via preferred_element_type).
+_COMPUTE_DTYPE = os.environ.get("EVFLOW_CONV_DTYPE", "float32")
+
+
+def set_conv_compute_dtype(name):
+    global _COMPUTE_DTYPE
+    assert name in ("float32", "bfloat16"), name
+    _COMPUTE_DTYPE = name
+
+
+def _conv_operands(x, kernel):
+    if _COMPUTE_DTYPE == "bfloat16":
+        return x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16)
+    return x, kernel.astype(x.dtype)
 
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
@@ -88,13 +106,14 @@ class Conv2d(nn.Module):
 
         kernel = self.param("kernel", kernel_init, shape)
         pad = k // 2
+        xa, ka = _conv_operands(x, kernel)
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),
+            xa,
+            ka,
             window_strides=(self.stride, self.stride),
             padding=((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        ).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", bias_init, (self.features,))
             y = y + bias.astype(y.dtype)
@@ -124,14 +143,15 @@ class ConvTranspose2dX2(nn.Module):
         )
         lo = k - 1 - p
         hi = k - 1 - p + 1  # +1 == output_padding
+        xa, ka = _conv_operands(x, kernel)
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),
+            xa,
+            ka,
             window_strides=(1, 1),
             padding=((lo, hi), (lo, hi)),
             lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        ).astype(x.dtype)
         if self.use_bias:
             bias = self.param(
                 "bias", _torch_bias_init(cin * k * k), (self.features,)

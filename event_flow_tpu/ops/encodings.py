@@ -149,6 +149,61 @@ def polarity_mask(ps, valid=None):
     return m
 
 
+def encode_windows(events, res, num_bins, valid=None, round_ts=False):
+    """Batched multi-window encoding with ONE scatter for everything.
+
+    The per-window formulation issues 3 scatter-adds per window (count,
+    voxel, mask) — 30 serialized TPU scatters per 10-window training step.
+    Here the count and voxel channels of ALL windows go through a single
+    channelled scatter over a [B*T] batch axis, and the mask falls out of
+    the count image ((pos+neg) > 0 — the reference's accumulate=False
+    index_put_ of |p| is exactly that, dataloader/base.py:159-171).
+
+    Args:
+      events: [B, T, N, 4] raw windows (ts unnormalized, y, x, p).
+      valid:  [B, T, N] mask.
+    Returns dict:
+      event_list [B,T,N,4] (ts normalized per window), event_cnt
+      [B,T,H,W,2], event_voxel [B,T,H,W,num_bins], event_mask [B,T,H,W,1],
+      pol_mask [B,T,N,2].
+    """
+    b, t, n, _ = events.shape
+    h, w = res
+    flat = events.reshape(b * t, n, 4)
+    fvalid = valid.reshape(b * t, n) if valid is not None else None
+    ev = format_events(flat, valid=fvalid)
+    ts, ys, xs, ps = ev[..., 0], ev[..., 1], ev[..., 2], ev[..., 3]
+
+    idx, inb = _linear_idx(ys, xs, res)
+    mask = inb if fvalid is None else (inb & (fvalid > 0))
+    maskf = mask.astype(ps.dtype)
+
+    pos = jnp.where(ps > 0, ps, 0.0)
+    neg = jnp.where(ps < 0, -ps, 0.0)
+    tb = ts * (num_bins - 1)
+    if round_ts:
+        tb = jnp.round(tb)
+    bins = jnp.arange(num_bins, dtype=tb.dtype)
+    vox_w = jnp.maximum(0.0, 1.0 - jnp.abs(tb[..., None] - bins))
+    vals = jnp.concatenate(
+        [jnp.stack([pos, neg], axis=-1), ps[..., None] * vox_w], axis=-1
+    ) * maskf[..., None]  # [B*T, N, 2+num_bins]
+
+    img = scatter_add(idx, vals, h * w).reshape(b, t, h, w, 2 + num_bins)
+    cnt = img[..., :2]
+    voxel = img[..., 2:]
+    emask = ((cnt[..., 0] + cnt[..., 1]) > 0).astype(cnt.dtype)[..., None]
+
+    pol = polarity_mask(ps, valid=fvalid).reshape(b, t, n, 2)
+    return {
+        "event_list": ev.reshape(b, t, n, 4),
+        "event_cnt": cnt,
+        "event_voxel": voxel,
+        "event_mask": emask,
+        "pol_mask": pol,
+    }
+
+
 def encode_window(events, res, num_bins, valid=None, round_ts=False):
     """Full per-window on-device encoding pass.
 
@@ -163,14 +218,9 @@ def encode_window(events, res, num_bins, valid=None, round_ts=False):
       event_mask     [B, H, W, 1]
       pol_mask       [B, N, 2]
     """
-    ev = format_events(events, valid=valid)
-    ts, ys, xs, ps = ev[..., 0], ev[..., 1], ev[..., 2], ev[..., 3]
-    return {
-        "event_list": ev,
-        "event_cnt": events_to_channels(ys, xs, ps, res, valid=valid),
-        "event_voxel": events_to_voxel(
-            ys, xs, ts, ps, num_bins, res, round_ts=round_ts, valid=valid
-        ),
-        "event_mask": events_to_mask(ys, xs, ps, res, valid=valid),
-        "pol_mask": polarity_mask(ps, valid=valid),
-    }
+    out = encode_windows(
+        events[:, None], res, num_bins,
+        valid=None if valid is None else valid[:, None],
+        round_ts=round_ts,
+    )
+    return {k: v[:, 0] for k, v in out.items()}

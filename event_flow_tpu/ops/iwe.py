@@ -109,6 +109,71 @@ def interpolate_multi(idx, weight_stack, res):
     return iwe.reshape(iwe.shape[0], h, w, weight_stack.shape[-1])
 
 
+def get_interpolation_compact(events, flow, tref, res, flow_scaling):
+    """Bilinear warp in compact form: ONE index row per event.
+
+    The classic formulation (get_interpolation, matching the reference)
+    expands each event to 4 neighbor rows -> a 4N-row scatter. TPU scatter
+    cost scales with index rows, so here each event contributes a single
+    row — the top-left neighbor in a (H+2, W+2) zero-padded grid — and the
+    4 bilinear weights ride as payload channels. ``interpolate_compact``
+    combines the shifted padded images. Numerically identical to the
+    reference path (tests assert it).
+
+    Returns:
+      idx_pad  [B, N] int32 linear indices into the padded grid
+      weights  [B, N, 4] bilinear weights (tl, tr, bl, br), zero where the
+               corresponding neighbor is out of bounds
+    """
+    h, w = res
+    ts = events[..., 0:1]
+    coords = events[..., 1:3]
+    warped = coords + (tref - ts) * flow * flow_scaling  # [B, N, 2]
+
+    top_y = jnp.floor(warped[..., 0])
+    left_x = jnp.floor(warped[..., 1])
+    dy = warped[..., 0] - top_y  # in [0, 1)
+    dx = warped[..., 1] - left_x
+    w_tl = (1.0 - dy) * (1.0 - dx)
+    w_tr = (1.0 - dy) * dx
+    w_bl = dy * (1.0 - dx)
+    w_br = dy * dx
+    weights = jnp.stack([w_tl, w_tr, w_bl, w_br], axis=-1)
+
+    # per-neighbor feasibility (reference purges each of the 4 rows
+    # independently, iwe.py:64-68)
+    ys = jnp.stack([top_y, top_y, top_y + 1, top_y + 1], axis=-1)
+    xs = jnp.stack([left_x, left_x + 1, left_x, left_x + 1], axis=-1)
+    feas = ((ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)).astype(weights.dtype)
+    weights = weights * feas
+
+    # top-left index in the padded grid; clamp keeps far-out warps benign
+    # (their weights are already zero)
+    py = jnp.clip(top_y + 1, 0, h).astype(jnp.int32)
+    px = jnp.clip(left_x + 1, 0, w).astype(jnp.int32)
+    idx_pad = py * (w + 2) + px
+    return idx_pad, weights
+
+
+def interpolate_compact(idx_pad, weight_stack, res, num_channels):
+    """Scatter compact bilinear contributions and combine shifts.
+
+    weight_stack: [B, N, 4*C] laid out neighbor-major: the 4 neighbor
+    weights each multiplied by the C payload channels
+    (w_tl*c0..w_tl*c{C-1}, w_tr*c0.., w_bl.., w_br..).
+    Returns [B, H, W, C].
+    """
+    h, w = res
+    b = idx_pad.shape[0]
+    img = scatter_add(idx_pad, weight_stack, (h + 2) * (w + 2))
+    img = img.reshape(b, h + 2, w + 2, 4, num_channels)
+    tl = img[:, 1:h + 1, 1:w + 1, 0]
+    tr = img[:, 1:h + 1, 0:w, 1]
+    bl = img[:, 0:h, 1:w + 1, 2]
+    br = img[:, 0:h, 0:w, 3]
+    return tl + tr + bl + br
+
+
 def gather_event_flow(flow_map, events, res):
     """Per-event flow lookup from a dense flow map
     (reference: utils/iwe.py:108-119, loss/flow.py:64-84).

@@ -26,7 +26,7 @@ import optax
 
 from ..data.augment import augment_events
 from ..loss.warping import LossConfig, event_warping_loss
-from ..ops.encodings import encode_window
+from ..ops.encodings import encode_windows
 
 __all__ = ["TrainState", "make_train_step", "make_sequence_forward"]
 
@@ -47,38 +47,35 @@ def make_sequence_forward(model, res, num_bins, round_encoding=False,
     """
 
     def body(state, xt):
-        params, (ev, va, aug) = xt[0], xt[1]
-        ev = augment_events(ev, aug, res) if augment else ev
-        enc = encode_window(ev, res, num_bins, valid=va,
-                            round_ts=round_encoding)
-        out, state = model.apply(
-            params, enc["event_voxel"], enc["event_cnt"], state
-        )
+        params, (voxel, cnt) = xt[0], xt[1]
+        out, state = model.apply(params, voxel, cnt, state)
         flows = tuple(out["flow"])
-        return state, (flows, enc["event_list"], enc["pol_mask"],
-                       enc["event_mask"])
+        return state, flows
 
     if remat:
         body = jax.checkpoint(body)
 
     def sequence_forward(params, model_state, events, valid, aug_flags):
-        ev_t = jnp.moveaxis(events, 1, 0)  # [T,B,N,4]
-        va_t = jnp.moveaxis(valid, 1, 0)
-        t = ev_t.shape[0]
-        aug_t = jnp.broadcast_to(aug_flags, (t,) + aug_flags.shape)
+        # All T windows' encodings in ONE channelled scatter, outside the
+        # scan (30 serialized per-window TPU scatters otherwise).
+        if augment:
+            b, t, n, _ = events.shape
+            events = augment_events(
+                events.reshape(b, t * n, 4), aug_flags, res
+            ).reshape(b, t, n, 4)
+        enc = encode_windows(events, res, num_bins, valid=valid,
+                             round_ts=round_encoding)
+        vox_t = jnp.moveaxis(enc["event_voxel"], 1, 0)  # [T,B,H,W,C]
+        cnt_t = jnp.moveaxis(enc["event_cnt"], 1, 0)
 
         def scan_body(state, xs):
             return body(state, (params, xs))
 
-        state, (flows, ev_list, pol, mask) = jax.lax.scan(
-            scan_body, model_state, (ev_t, va_t, aug_t)
-        )
+        state, flows = jax.lax.scan(scan_body, model_state, (vox_t, cnt_t))
         # [T, B, ...] -> [B, T, ...]
         flows = tuple(jnp.moveaxis(f, 0, 1) for f in flows)
-        ev_list = jnp.moveaxis(ev_list, 0, 1)
-        pol = jnp.moveaxis(pol, 0, 1)
-        mask = jnp.moveaxis(mask, 0, 1)
-        return state, flows, ev_list, pol, mask
+        return (state, flows, enc["event_list"], enc["pol_mask"],
+                enc["event_mask"])
 
     return sequence_forward
 
