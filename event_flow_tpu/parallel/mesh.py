@@ -26,6 +26,19 @@ def make_mesh(n_devices=None, axis_name="data", devices=None):
     return Mesh(np.array(devices), (axis_name,))
 
 
+def make_mesh_2d(dp, ep, devices=None):
+    """2-D mesh (data x event): batch shards over ``data``; the per-event
+    axis of the loss (the workload's long-sequence dimension, SURVEY.md
+    §2.7/§5) shards over ``event``. The IWE scatter then runs on per-device
+    event shards and XLA SPMD all-reduces the accumulator images over the
+    ``event`` axis on ICI."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= dp * ep, (dp, ep, len(devices))
+    arr = np.array(devices[: dp * ep]).reshape(dp, ep)
+    return Mesh(arr, ("data", "event"))
+
+
 def batch_sharding(mesh, axis_name="data"):
     """Shard the leading (batch) axis; everything else replicated."""
     return NamedSharding(mesh, P(axis_name))
@@ -35,24 +48,51 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_train_step(train_step, mesh, axis_name="data"):
+def _model_state_shardings(model_state, mesh, axis_name):
+    """Per-leaf: batch-sharded for rank>=1 state tensors, replicated for
+    scalar placeholders (stateless cells)."""
+    batch_s = batch_sharding(mesh, axis_name)
+    repl = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda s: batch_s if getattr(s, "ndim", 0) >= 1 else repl,
+        model_state,
+    )
+
+
+def shard_train_step(train_step, mesh, state_template, axis_name="data"):
     """Jit a train step with data-parallel shardings.
 
     TrainState layout: params/opt_state replicated, model_state sharded on
     batch; batch arrays (events/valid/aug) sharded on batch; loss replicated.
+    With a 2-D (data, event) mesh the event axis of the raw windows also
+    shards, so the loss's per-event warp/gather/scatter splits across
+    devices and the IWE accumulators combine by XLA-inserted all-reduce.
     XLA SPMD inserts the gradient all-reduce (psum over ``data``) on ICI.
+
+    ``state_template`` is a TrainState used only for pytree structure
+    (scalar model-state leaves stay replicated).
     """
     batch_s = batch_sharding(mesh, axis_name)
     repl = replicated(mesh)
+    if "event" in mesh.axis_names:
+        # events [B, T, N, 4]: B on data, N on event
+        events_s = NamedSharding(mesh, P(axis_name, None, "event"))
+        valid_s = events_s
+    else:
+        events_s = valid_s = batch_s
 
     from ..train.step import TrainState
 
     state_shardings = TrainState(
-        params=repl, opt_state=repl, model_state=batch_s
+        params=repl,
+        opt_state=repl,
+        model_state=_model_state_shardings(
+            state_template.model_state, mesh, axis_name
+        ),
     )
     return jax.jit(
         train_step,
-        in_shardings=(state_shardings, batch_s, batch_s, batch_s, repl),
+        in_shardings=(state_shardings, events_s, valid_s, batch_s, repl),
         out_shardings=(state_shardings, repl),
         donate_argnums=(0,),
     )
@@ -60,10 +100,13 @@ def shard_train_step(train_step, mesh, axis_name="data"):
 
 def shard_state(state, mesh, axis_name="data"):
     """Place an existing TrainState according to the DP layout."""
-    batch_s = batch_sharding(mesh, axis_name)
     repl = replicated(mesh)
     params = jax.device_put(state.params, repl)
     opt_state = jax.device_put(state.opt_state, repl)
-    model_state = jax.device_put(state.model_state, batch_s)
+    model_state = jax.tree_util.tree_map(
+        lambda s, sh: jax.device_put(s, sh),
+        state.model_state,
+        _model_state_shardings(state.model_state, mesh, axis_name),
+    )
     type_ = type(state)
     return type_(params, opt_state, model_state)

@@ -59,14 +59,6 @@ class Trainer:
             round_encoding=config["model"].get("round_encoding", False),
             with_grad_stats=store_grads,
         )
-        if mesh is not None:
-            from ..parallel.mesh import shard_train_step
-
-            self.step = shard_train_step(step, mesh)
-        else:
-            self.step = jax.jit(step)
-        self.mesh = mesh
-
         self.state = init_train_state(
             self.model, self.tx, jax.random.PRNGKey(
                 config["loader"].get("seed", 0)
@@ -74,9 +66,13 @@ class Trainer:
             self.batch_size, self.res, self.num_bins,
         )
         if mesh is not None:
-            from ..parallel.mesh import shard_state
+            from ..parallel.mesh import shard_state, shard_train_step
 
+            self.step = shard_train_step(step, mesh, self.state)
             self.state = shard_state(self.state, mesh)
+        else:
+            self.step = jax.jit(step)
+        self.mesh = mesh
 
         # accumulation buffers
         self._events = []

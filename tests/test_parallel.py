@@ -1,0 +1,88 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from event_flow_tpu.data.synthetic import constant_flow_window
+from event_flow_tpu.loss.warping import LossConfig
+from event_flow_tpu.models.registry import get_model
+from event_flow_tpu.parallel.mesh import (
+    make_mesh,
+    make_mesh_2d,
+    shard_state,
+    shard_train_step,
+)
+from event_flow_tpu.train.optim import make_optimizer
+from event_flow_tpu.train.step import init_train_state, make_train_step
+
+RES = (32, 32)
+B, T, N = 4, 2, 256
+
+CFG = {
+    "name": "FireNet",
+    "encoding": "cnt",
+    "num_bins": 2,
+    "base_num_channels": 8,
+    "kernel_size": 3,
+    "mask_output": True,
+    "activations": ["relu", None],
+    "spiking_neuron": None,
+}
+
+
+def _setup():
+    model = get_model("FireNet", CFG)
+    tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
+    loss_cfg = LossConfig(RES, float(max(RES)), 0.001, smoothing_mask=True)
+    step = make_train_step(model, tx, RES, 2, loss_cfg)
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
+    rng = np.random.default_rng(0)
+    ev = jnp.asarray(
+        np.stack(
+            [
+                np.stack(
+                    [constant_flow_window(rng, N, RES, (2.0, 1.0), 12)
+                     for _ in range(T)]
+                )
+                for _ in range(B)
+            ]
+        )
+    )
+    return model, tx, step, state, ev
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_2d_mesh_event_sharding_matches_single_device():
+    model, tx, step, state, ev = _setup()
+    valid = jnp.ones((B, T, N))
+    aug = jnp.zeros((B, 3))
+    reset = jnp.asarray(False)
+
+    _, ref_loss = jax.jit(step)(state, ev, valid, aug, reset)
+
+    mesh = make_mesh_2d(4, 2)
+    st0 = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
+    sharded = shard_train_step(step, mesh, st0)
+    st = shard_state(st0, mesh)
+    _, loss = sharded(st, ev, valid, aug, reset)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_8way_dp_matches_smaller_mesh():
+    model, tx, step, state, ev = _setup()
+    valid = jnp.ones((B, T, N))
+    aug = jnp.zeros((B, 3))
+    reset = jnp.asarray(False)
+    m4 = make_mesh(4)
+    st40 = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
+    s4 = shard_train_step(step, m4, st40)
+    st4 = shard_state(st40, m4)
+    _, l4 = s4(st4, ev, valid, aug, reset)
+
+    m2 = make_mesh(2)
+    st20 = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
+    s2 = shard_train_step(step, m2, st20)
+    st2 = shard_state(st20, m2)
+    _, l2 = s2(st2, ev, valid, aug, reset)
+    np.testing.assert_allclose(float(l4), float(l2), rtol=2e-4)

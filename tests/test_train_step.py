@@ -132,8 +132,8 @@ def test_data_parallel_sharded_step():
     step = make_train_step(model, tx, RES, 2, loss_cfg)
 
     mesh = make_mesh(2)
-    sharded = shard_train_step(step, mesh)
     state = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
+    sharded = shard_train_step(step, mesh, state)
     state = shard_state(state, mesh)
     ev, valid, aug = _batch()
     new_state, loss = sharded(state, ev, valid, aug, jnp.asarray(False))
