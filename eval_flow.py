@@ -92,13 +92,25 @@ def test(args):
     stream = EventStream(config)
     hot_state = init_hot_state(b, res)
     model_state = state
+    activity_log = None
     while stream.seq_num < len(stream.files):
         batch = stream.next_batch()
         if stream.seq_num >= len(stream.files):
             break
+        if batch["new_seq"]:
+            activity_log = None
         model_state, hot_state, win = evaluator.process_batch(
             stream, params, model_state, hot_state, batch
         )
+        if config.get("vis", {}).get("activity") and win["activity"]:
+            from event_flow_tpu.utils.visualization import vis_activity
+
+            act = {k: float(v) for k, v in win["activity"].items()}
+            activity_log = vis_activity(
+                act, activity_log,
+                path=os.path.join(path_results or ".", "activity.png")
+                if path_results else None,
+            )
         if vis is not None:
             flow_vis = np.asarray(win["flow"])
             if model.mask_output:

@@ -48,6 +48,9 @@ class Evaluator:
             int(round(1.0 / window)) if self.mode.startswith("gtflow") else 1
         )
         self.hot_cfg = config.get("hot_filter", {"enabled": False})
+        # per-layer activity logging (reference: eval_flow.py:134-136 with
+        # vis.activity; FireNet family only, model.py:268-282)
+        self.log_activity = bool(config.get("vis", {}).get("activity", False))
         self._step = jax.jit(self._window_step)
         self._results = {}
         self._buffers = []
@@ -74,7 +77,8 @@ class Evaluator:
             model_state,
         )
         out, model_state = self.model.apply(
-            params, enc["event_voxel"], enc["event_cnt"], model_state
+            params, enc["event_voxel"], enc["event_cnt"], model_state,
+            log=self.log_activity,
         )
         flow_last = out["flow"][-1]  # [B, H, W, 2] highest resolution
         event_flow = gather_event_flow(flow_last, enc["event_list"], self.res)
@@ -90,6 +94,7 @@ class Evaluator:
             "event_flow": event_flow,
             "flow_last": flow_last,
             "iwe": iwe,
+            "activity": out["activity"],
         }
 
     # -- jitted metric kernels -------------------------------------------
@@ -142,7 +147,7 @@ class Evaluator:
         )
         self._buffers.append(win)
         vis = {"flow": win["flow_last"], "iwe": win["iwe"],
-               "event_mask": win["event_mask"]}
+               "event_mask": win["event_mask"], "activity": win["activity"]}
 
         if len(self._buffers) >= self.k_windows:
             stacked = {

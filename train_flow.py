@@ -55,6 +55,11 @@ def train(args):
     # stream
     if args.synthetic:
         stream = _SyntheticStream(config)
+    elif args.native:
+        from event_flow_tpu.data.native_loader import NativeEventStream
+
+        stream = NativeEventStream(config)
+        print("using native prefetching loader")
     else:
         from event_flow_tpu.data.h5 import EventStream
 
@@ -134,6 +139,8 @@ if __name__ == "__main__":
     ap.add_argument("--runs_root", default="runs")
     ap.add_argument("--synthetic", action="store_true",
                     help="train on the synthetic constant-flow stream")
+    ap.add_argument("--native", action="store_true",
+                    help="use the C++ prefetching loader (events mode)")
     ap.add_argument("--max_updates", type=int, default=0)
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all visible devices")
