@@ -93,6 +93,9 @@ def test(args):
     hot_state = init_hot_state(b, res)
     model_state = state
     activity_log = None
+    from event_flow_tpu.data.progress import ProgressPrinter
+
+    bar = ProgressPrinter(enabled=config.get("vis", {}).get("bars", False))
     while stream.seq_num < len(stream.files):
         batch = stream.next_batch()
         if stream.seq_num >= len(stream.files):
@@ -102,6 +105,7 @@ def test(args):
         model_state, hot_state, win = evaluator.process_batch(
             stream, params, model_state, hot_state, batch
         )
+        bar.tick(stream.slot_filename(0))
         if config.get("vis", {}).get("activity") and win["activity"]:
             from event_flow_tpu.utils.visualization import vis_activity
 
@@ -116,13 +120,20 @@ def test(args):
             if model.mask_output:
                 flow_vis = flow_vis * np.asarray(win["event_mask"])
             if config["vis"].get("enabled"):
-                vis.update(None, flow_vis, win["iwe"])
+                vis.update(None, flow_vis, win["iwe"],
+                           events_window=win.get("events_window"),
+                           masked_window_flow=win.get("flow_window"),
+                           iwe_window=win.get("iwe_window"))
             if config["vis"].get("store"):
                 vis.store(
                     stream.slot_filename(0).split(".")[0],
                     None, flow_vis, win["iwe"],
                     ts=stream.last_proc_timestamp,
+                    events_window=win.get("events_window"),
+                    masked_window_flow=win.get("flow_window"),
+                    iwe_window=win.get("iwe_window"),
                 )
+    bar.finish()
     stream.close()
 
     results = evaluator.results()

@@ -51,6 +51,14 @@ class Evaluator:
         # per-layer activity logging (reference: eval_flow.py:134-136 with
         # vis.activity; FireNet family only, model.py:268-282)
         self.log_activity = bool(config.get("vis", {}).get("activity", False))
+        self.overwrite_intermediate = bool(
+            config.get("loss", {}).get("overwrite_intermediate", False)
+        )
+        self.want_window_vis = bool(
+            (config.get("vis", {}).get("enabled")
+             or config.get("vis", {}).get("store"))
+            and self.k_windows > 1
+        )
         self._step = jax.jit(self._window_step)
         self._results = {}
         self._buffers = []
@@ -113,15 +121,59 @@ class Evaluator:
 
     def _flatten_windows(self, stacked):
         """[K][B,N,...] buffers -> accumulated arrays with per-pass ts
-        offsets (loss/flow.py:368)."""
+        offsets (loss/flow.py:368). With ``loss.overwrite_intermediate``
+        every event's flow is re-gathered from the LAST window's flow map
+        (loss/flow.py:398-418)."""
         ev = jnp.stack(stacked["event_list"], axis=1)  # [B,K,N,4]
         b, k, n, _ = ev.shape
         ts = ev[..., 0] + jnp.arange(k, dtype=ev.dtype)[None, :, None]
-        ev = jnp.concatenate([ts[..., None], ev[..., 1:]], axis=-1)
-        ev = ev.reshape(b, k * n, 4)
-        flow = jnp.stack(stacked["event_flow"], axis=1).reshape(b, k * n, 2)
+        ev_off = jnp.concatenate([ts[..., None], ev[..., 1:]], axis=-1)
+        ev_off = ev_off.reshape(b, k * n, 4)
+        if self.overwrite_intermediate:
+            last_map = stacked["flow_last"][-1]
+            flow = gather_event_flow(
+                last_map, ev.reshape(b, k * n, 4), self.res
+            )
+        else:
+            flow = jnp.stack(stacked["event_flow"], axis=1).reshape(
+                b, k * n, 2
+            )
         pol = jnp.stack(stacked["pol_mask"], axis=1).reshape(b, k * n, 2)
-        return ev, flow, pol
+        return ev_off, flow, pol
+
+    # -- window visualization helpers (reference: loss/flow.py:432-465,
+    #    used by eval_flow.py:202-210 when window < window_eval) ----------
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _window_vis(self, stacked):
+        ev, flow, pol = self._flatten_windows(stacked)
+        # accumulated (unwarped) event image
+        lin = (
+            ev[..., 1].astype(jnp.int32) * self.res[1]
+            + ev[..., 2].astype(jnp.int32)
+        )
+        lin = jnp.clip(lin, 0, self.res[0] * self.res[1] - 1)
+        ones = jnp.ones_like(ev[..., :1])
+        from ..ops.iwe import get_interpolation, interpolate_multi
+        from ..ops.scatter import scatter_add
+
+        events_img = scatter_add(
+            lin, jnp.concatenate([ones * pol[..., 0:1],
+                                  ones * pol[..., 1:2]], axis=-1),
+            self.res[0] * self.res[1],
+        ).reshape(-1, *self.res, 2)
+        # accumulated IWE at tref = K
+        idx, w = get_interpolation(ev, flow, float(self.k_windows), self.res,
+                                   self.flow_scaling, round_idx=True)
+        iwe = interpolate_multi(
+            idx, jnp.concatenate([w * pol[..., 0:1], w * pol[..., 1:2]],
+                                 axis=-1), self.res)
+        # per-pass-masked average flow (loss/flow.py:443-452)
+        masks = jnp.stack(stacked["event_mask"], axis=1)  # [B,K,H,W,1]
+        flows = jnp.stack(stacked["flow_last"], axis=1)  # [B,K,H,W,2]
+        avg_flow = (flows * masks).sum(1) / (masks.sum(1) + 1e-9)
+        return {"events_window": events_img, "iwe_window": iwe,
+                "flow_window": avg_flow}
 
     @partial(jax.jit, static_argnums=(0,))
     def _compute_aee(self, flow_last, gtflow, event_mask, dt_input, dt_gt):
@@ -161,6 +213,10 @@ class Evaluator:
                 vals = self._compute_fwl_rsat(stacked)
                 for name, arr in vals.items():
                     self._accumulate(name, np.asarray(arr), filenames)
+            if self.want_window_vis:
+                # merge accumulated-window renders into the vis dict
+                # (events_window / iwe_window / flow_window)
+                vis.update(self._window_vis(stacked))
             if "AEE" in self.metrics and "gtflow" in batch:
                 ok = float(batch["dt_gt"][0]) > 0.0
                 self._idx_aee += 1

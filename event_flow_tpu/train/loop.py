@@ -71,7 +71,9 @@ class Trainer:
             self.step = shard_train_step(step, mesh, self.state)
             self.state = shard_state(self.state, mesh)
         else:
-            self.step = jax.jit(step)
+            # donate the carried TrainState buffers (params/opt/state are
+            # rebound every update)
+            self.step = jax.jit(step, donate_argnums=(0,))
         self.mesh = mesh
 
         # accumulation buffers
