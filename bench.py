@@ -125,5 +125,9 @@ if __name__ == "__main__":
                   flush=True)
             _time.sleep(240)
             os.environ["EVFLOW_BENCH_ATTEMPT"] = str(attempt + 1)
+            if attempt >= 1:
+                # degrade to the lighter lax.conv program (smaller compile)
+                # if the heavy im2col graph keeps killing the worker
+                os.environ["EVFLOW_CONV_IMPL"] = "xla"
             os.execv(sys.executable, [sys.executable] + sys.argv)
         raise

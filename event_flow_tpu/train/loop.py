@@ -90,10 +90,44 @@ class Trainer:
         path = ckpt.latest_checkpoint(run_dir)
         if path is None:
             raise FileNotFoundError(f"no checkpoints under {run_dir}")
-        restored = ckpt.restore_checkpoint(path, target={"params": self.state.params})
+        restored = ckpt.restore_checkpoint(path)
         self.state = TrainState(
             restored["params"], self.state.opt_state, self.state.model_state
         )
+
+    def resume(self, run_dir, stream):
+        """Exact-resume from a full checkpoint: params + optimizer state +
+        stream cursor + epoch (new capability vs the reference, which can
+        only warm-start weights). Returns the restored epoch."""
+        path = ckpt.latest_checkpoint(run_dir, prefer=("latest",))
+        if path is None:
+            raise FileNotFoundError(f"no checkpoints under {run_dir}")
+        restored = ckpt.restore_checkpoint(path)
+
+        def refit(template):
+            flat_r = jax.tree_util.tree_leaves(restored[template[0]])
+            flat_t, tdef = jax.tree_util.tree_flatten(template[1])
+            return jax.tree_util.tree_unflatten(
+                tdef,
+                [np.asarray(r).astype(t.dtype).reshape(t.shape)
+                 for r, t in zip(flat_r, flat_t)],
+            )
+
+        opt_state = refit(("opt_state", self.state.opt_state))
+        if "model_state" in restored:
+            model_state = refit(("model_state", self.state.model_state))
+            self._pending_reset = False
+        else:
+            model_state = self.state.model_state
+            self._pending_reset = True
+        self.state = TrainState(restored["params"], opt_state, model_state)
+        if hasattr(stream, "batch_row") and "batch_row" in restored:
+            stream.batch_row = [float(r) for r in restored["batch_row"]]
+            stream.batch_idx = [int(i) for i in restored["batch_idx"]]
+            files = [str(f) for f in restored["files"]]
+            if set(files) == set(stream.files):
+                stream.files = files
+        return int(restored.get("epoch", 0))
 
     def feed(self, batch):
         """Feed one stream batch; returns the loss when an update fired,
@@ -157,6 +191,7 @@ class Trainer:
             {
                 "params": jax.device_get(self.state.params),
                 "opt_state": jax.device_get(self.state.opt_state),
+                "model_state": jax.device_get(self.state.model_state),
                 "epoch": epoch,
                 "batch_idx": list(stream.batch_idx),
                 "batch_row": [float(r) for r in stream.batch_row],

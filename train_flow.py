@@ -68,7 +68,15 @@ def train(args):
 
     n_epochs = config["loader"].get("n_epochs", 100)
     epoch = 0
+    if args.resume:
+        epoch = trainer.resume(
+            os.path.join(args.runs_root, args.resume), stream)
+        print(f"resumed run {args.resume} at epoch {epoch}")
     verbose = config.get("vis", {}).get("verbose", True)
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(os.path.join(tracker.dir, "profile"))
     while epoch < n_epochs:
         batch = stream.next_batch()
         loss = trainer.feed(batch)
@@ -86,6 +94,11 @@ def train(args):
                 print(f"\nstopping after {trainer.updates} updates")
                 trainer.end_epoch(stream, epoch)
                 trainer.save_full_checkpoint(stream, epoch)
+                if args.profile:
+                    import jax
+
+                    jax.profiler.stop_trace()
+                    print(f"profile trace in {tracker.dir}/profile")
                 return tracker.runid
         if stream.seq_num >= len(stream.files):
             mean = trainer.end_epoch(stream, epoch)
@@ -141,6 +154,10 @@ if __name__ == "__main__":
                     help="train on the synthetic constant-flow stream")
     ap.add_argument("--native", action="store_true",
                     help="use the C++ prefetching loader (events mode)")
+    ap.add_argument("--resume", default="",
+                    help="resume a run exactly (params+optimizer+cursor)")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace into the run dir")
     ap.add_argument("--max_updates", type=int, default=0)
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all visible devices")
