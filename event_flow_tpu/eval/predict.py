@@ -1,0 +1,80 @@
+"""Streaming inference engine: low-latency per-window flow prediction.
+
+The serving-side counterpart of the training stack: one jitted step turns a
+raw event window into a dense flow map (+ optional IWE), carrying the
+recurrent state across calls — the deployment shape of the reference's
+eval loop (reference: eval_flow.py:119-152) without metrics machinery.
+
+    engine = InferenceEngine(config, model, params)
+    for window in camera:                  # [N, 4] (ts, y, x, p)
+        flow = engine.step(window)         # [H, W, 2], device-resident
+    engine.reset()                         # at sequence changes
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.encodings import encode_window
+from ..ops.hot_filter import apply_hot_filter, init_hot_state
+from ..ops.iwe import compute_pol_iwe
+
+__all__ = ["InferenceEngine"]
+
+
+class InferenceEngine:
+    def __init__(self, config, model, params, batch=1, with_iwe=False):
+        self.res = tuple(config["loader"]["resolution"])
+        self.num_bins = config["model"]["num_bins"]
+        self.model = model
+        self.params = params
+        self.batch = batch
+        self.with_iwe = with_iwe
+        self.flow_scaling = config.get("metrics", {}).get("flow_scaling", 128)
+        self.hot_cfg = config.get("hot_filter", {"enabled": False})
+        self.round_encoding = config["model"].get("round_encoding", False)
+        self._state = model.zero_state(batch, *self.res)
+        self._hot = init_hot_state(batch, self.res)
+        self._step = jax.jit(self._fn)
+
+    def _fn(self, params, state, hot, events, valid):
+        enc = encode_window(events, self.res, self.num_bins, valid=valid,
+                            round_ts=self.round_encoding)
+        if self.hot_cfg.get("enabled"):
+            enc, hot = apply_hot_filter(
+                enc, hot,
+                max_px=self.hot_cfg.get("max_px", 100),
+                min_obvs=self.hot_cfg.get("min_obvs", 5),
+                max_rate=self.hot_cfg.get("max_rate", 0.8),
+            )
+        out, state = self.model.apply(
+            params, enc["event_voxel"], enc["event_cnt"], state
+        )
+        flow = out["flow"][-1]
+        iwe = None
+        if self.with_iwe:
+            iwe = compute_pol_iwe(
+                flow, enc["event_list"], self.res,
+                enc["pol_mask"][..., 0:1], enc["pol_mask"][..., 1:2],
+                flow_scaling=self.flow_scaling, round_idx=True,
+            )
+        return state, hot, flow, iwe
+
+    def step(self, events, valid=None):
+        """events: [N, 4] or [B, N, 4] raw window. Returns flow
+        [B, H, W, 2] (device array; don't block on it unless needed)."""
+        ev = jnp.asarray(events)
+        if ev.ndim == 2:
+            ev = ev[None]
+        if valid is None:
+            valid = jnp.ones(ev.shape[:2])
+        self._state, self._hot, flow, iwe = self._step(
+            self.params, self._state, self._hot, ev, valid
+        )
+        self.last_iwe = iwe
+        return flow
+
+    def reset(self):
+        """Sequence boundary (reference: eval_flow.py:123-126)."""
+        self._state = self.model.zero_state(self.batch, *self.res)
+        self._hot = init_hot_state(self.batch, self.res)

@@ -1,0 +1,142 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+
+def test_config_defaults_and_merge(tmp_path):
+    from event_flow_tpu.config.parser import YAMLConfig, load_config
+
+    p = tmp_path / "c.yml"
+    yaml.safe_dump(
+        {"data": {"window": 1234},
+         "spiking_neuron": {"leak": [-4.0, 0.1]},
+         "model": {"name": "LIFFireNet"}},
+        open(p, "w"),
+    )
+    cfg = load_config(str(p))
+    # defaults survive partial overrides (reference parser.py:32-66)
+    assert cfg["data"]["mode"] == "events"
+    assert cfg["data"]["window"] == 1234
+    assert cfg["loader"]["resolution"] == [180, 240]
+    assert cfg["hot_filter"]["max_px"] == 100
+    # spiking_neuron re-nested under model (parser.py:117-127)
+    assert cfg["model"]["spiking_neuron"]["leak"] == [-4.0, 0.1]
+    assert "spiking_neuron" not in cfg
+
+    # stored-params merge without eval()
+    yc = YAMLConfig(str(p))
+    merged = yc.merge_configs(
+        {"model": "{name: FireNet, num_bins: 2}", "experiment": "X"}
+    )
+    assert merged["model"]["name"] == "LIFFireNet"  # config overrides stored
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from event_flow_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    tree = {
+        "params": {"w": np.arange(12, dtype=np.float32).reshape(3, 4)},
+        "epoch": 7,
+    }
+    path = save_checkpoint(str(tmp_path / "ck"), tree)
+    back = restore_checkpoint(path)
+    np.testing.assert_array_equal(back["params"]["w"], tree["params"]["w"])
+    assert int(back["epoch"]) == 7
+
+
+def test_tracker_artifacts(tmp_path):
+    from event_flow_tpu.utils.tracking import (
+        Tracker,
+        log_eval_config,
+        log_eval_results,
+    )
+
+    t = Tracker("exp", runs_root=str(tmp_path))
+    t.log_params({"a": 1, "nested": {"b": 2}})
+    t.log_metric("loss", 0.5, step=0)
+    t.log_metric("loss", 0.4, step=1)
+    assert t.load_params()["nested"]["b"] == 2
+    assert os.path.exists(os.path.join(t.dir, "metrics.csv"))
+
+    eid = log_eval_config(str(tmp_path), "rid", {"k": "v"})
+    log_eval_results(str(tmp_path), eid, {"FWL": {"seq.h5": 1.23}})
+    stored = yaml.safe_load(open(tmp_path / f"metrics_{eid}.yml"))
+    assert stored["FWL"]["seq.h5"] == "1.23"
+
+
+def test_visualization_renders():
+    from event_flow_tpu.utils.visualization import (
+        events_to_image,
+        flow_to_image,
+    )
+
+    flow = np.zeros((8, 8, 2), np.float32)
+    flow[..., 0] = 1.0
+    img = flow_to_image(flow)
+    assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+
+    cnt = np.zeros((8, 8, 2), np.float32)
+    cnt[2, 2, 0] = 3
+    cnt[4, 4, 1] = 2
+    img = events_to_image(cnt)
+    assert img[2, 2, 1] > 0  # green positive
+    assert img[4, 4, 2] > 0  # red negative
+
+
+def test_inference_engine_streaming():
+    from event_flow_tpu.config.parser import default_config
+    from event_flow_tpu.data.synthetic import constant_flow_window
+    from event_flow_tpu.eval.predict import InferenceEngine
+    from event_flow_tpu.models.registry import get_model
+
+    res = (16, 16)
+    cfg = default_config()
+    cfg["loader"]["resolution"] = list(res)
+    cfg["model"] = {
+        "name": "LIFFireNet", "encoding": "cnt", "num_bins": 2,
+        "base_num_channels": 4, "kernel_size": 3, "mask_output": True,
+        "activations": ["arctanspike", "arctanspike"],
+        "spiking_neuron": {"leak": [-4.0, 0.1], "thresh": [0.8, 0.1]},
+    }
+    cfg["hot_filter"]["enabled"] = True
+    model = get_model("LIFFireNet", cfg["model"])
+    state = model.zero_state(1, *res)
+    x = jnp.zeros((1, *res, 2))
+    params = model.init(jax.random.PRNGKey(0), x, x, state)
+    eng = InferenceEngine(cfg, model, params, with_iwe=True)
+
+    rng = np.random.default_rng(0)
+    flows = []
+    for _ in range(3):
+        w = constant_flow_window(rng, 200, res, (1.0, 1.0), 8)
+        flow = eng.step(w)
+        flows.append(np.asarray(flow))
+    assert flows[0].shape == (1, *res, 2)
+    assert eng.last_iwe.shape == (1, *res, 2)
+    # recurrent state accumulates across windows and reset() clears it
+    carried = sum(
+        float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(eng._state)
+    )
+    assert carried > 0.0
+    eng.reset()
+    cleared = sum(
+        float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(eng._state)
+    )
+    assert cleared == 0.0
+
+
+def test_progress_printer(capsys):
+    from event_flow_tpu.data.progress import ProgressPrinter
+
+    p = ProgressPrinter(enabled=True, every=2)
+    for _ in range(4):
+        p.tick("seq.h5")
+    p.finish()
+    out = capsys.readouterr().out
+    assert "seq.h5" in out and "Hz" in out
