@@ -13,7 +13,6 @@ use the Python EventStream (data/h5.py).
 """
 
 import ctypes
-import json
 import os
 import subprocess
 

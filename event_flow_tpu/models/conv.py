@@ -18,7 +18,6 @@ Init distributions (all cited to the reference):
 
 import math
 import os
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

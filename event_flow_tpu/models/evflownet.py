@@ -10,8 +10,6 @@ nearest-neighbor interpolation (model.py:377-388; torch F.interpolate's
 default mode).
 """
 
-from typing import Optional, Sequence
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -14,7 +14,7 @@ replaces ``reset_states`` (model.py:223-224) and ``detach_states``
 truncated-BPTT segments.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -13,7 +13,7 @@ with ``zero_state(batch, h, w)`` building the exact static-shape pytree the
 reference lazily zero-initializes (unet.py:333, :435).
 """
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -33,7 +33,6 @@ from .cells import (
 from .conv import out_hw
 from .model_util import get_skip_fn
 from .snn_cells import (
-    _FF_BLOCKS,
     SpikingRecurrentConvLayer,
     SpikingResidualBlock,
     SpikingTransposedConvLayer,

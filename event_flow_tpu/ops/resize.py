@@ -14,7 +14,6 @@ default nearest for integer scale factors. Inputs are NHWC.
 """
 
 import jax
-import jax.numpy as jnp
 
 __all__ = ["upsample2x_bilinear", "resize_nearest", "avg_pool"]
 

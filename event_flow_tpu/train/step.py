@@ -18,7 +18,7 @@ State semantics:
     (replaces the host-side DataLoader encodings, dataloader/base.py:148-222)
 """
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

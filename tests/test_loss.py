@@ -1,7 +1,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from event_flow_tpu.data.synthetic import constant_flow_window
 from event_flow_tpu.loss.metrics import aee, fwl, rsat

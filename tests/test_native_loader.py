@@ -5,7 +5,6 @@ from event_flow_tpu.config.parser import default_config, merge_dicts
 from event_flow_tpu.data.h5 import EventStream
 from event_flow_tpu.data.native_loader import (
     NativeEventStream,
-    convert_h5_dir,
     native_available,
 )
 from event_flow_tpu.data.schema import write_synthetic_sequence
