@@ -218,8 +218,12 @@ class Evaluator:
                 # (events_window / iwe_window / flow_window)
                 vis.update(self._window_vis(stacked))
             if "AEE" in self.metrics and "gtflow" in batch:
+                # windows without valid GT don't advance the cadence
+                # (reference: eval_flow.py:170-174 continues before the
+                # idx_AEE increment)
                 ok = float(batch["dt_gt"][0]) > 0.0
-                self._idx_aee += 1
+                if ok:
+                    self._idx_aee += 1
                 if ok and self._idx_aee == self.aee_every:
                     a, pct = self._compute_aee(
                         win["flow_last"], jnp.asarray(batch["gtflow"]),

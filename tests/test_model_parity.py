@@ -206,3 +206,56 @@ def test_rec_evflownet_multistep_parity():
                 atol=1e-5,
                 err_msg=f"scale {s} diverges at step {step}",
             )
+
+
+def test_e2vid_multistep_parity():
+    from models.model import E2VID as RefE2VID
+
+    from event_flow_tpu.models.registry import get_model
+
+    cfg = {
+        "name": "E2VID", "encoding": "cnt", "round_encoding": False,
+        "norm_input": False, "num_bins": 2, "base_num_channels": 4,
+        "kernel_size": 3, "activations": ["relu", None],
+        "mask_output": True, "spiking_neuron": None,
+    }
+    torch.manual_seed(5)
+    ref = RefE2VID(dict(cfg))
+    ref.eval()
+    unet = ref.unetrecurrent
+
+    model = get_model("E2VID", cfg)
+
+    def conv2d_p(c):
+        return {"kernel": _hwio(c.weight), "bias": _vec(c.bias)}
+
+    p = {"head": {"conv": conv2d_p(unet.head.conv2d)}}
+    for i, enc in enumerate(unet.encoders):
+        # reference ConvLSTM packs all gates into one conv in i,r,o,g order
+        # (submodules.py:331, :360) — same packing here
+        p[f"encoders_{i}"] = {
+            "conv": {"conv": conv2d_p(enc.conv.conv2d)},
+            "recurrent_block": {"gates": conv2d_p(enc.recurrent_block.Gates)},
+        }
+    for i, res in enumerate(unet.resblocks):
+        p[f"resblocks_{i}"] = {"conv1": conv2d_p(res.conv1),
+                               "conv2": conv2d_p(res.conv2)}
+    for i, dec in enumerate(unet.decoders):
+        p[f"decoders_{i}"] = {"conv": conv2d_p(dec.conv2d)}
+    p["pred"] = {"conv": conv2d_p(unet.pred.conv2d)}
+    params = {"params": {"unet": p}}
+
+    rng = np.random.default_rng(6)
+    state = model.zero_state(B, H, W)
+    ref.reset_states()
+    for step in range(3):
+        cnt = rng.normal(0, 1, (B, 2, H, W)).astype(np.float32)
+        with torch.no_grad():
+            out_t = ref(None, torch.from_numpy(cnt))
+        out_j, state = model.apply(params, _nhwc(cnt) * 0, _nhwc(cnt), state)
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(out_j["flow"][0]), -1, 1),
+            out_t["flow"][0].numpy(),
+            atol=1e-5,
+            err_msg=f"E2VID flow diverges at step {step}",
+        )
