@@ -33,11 +33,7 @@ from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 
-from ..ops.iwe import (
-    gather_event_flow,
-    get_interpolation_compact,
-    interpolate_compact,
-)
+from ..ops.iwe import get_interpolation_compact, interpolate_compact
 
 __all__ = ["LossConfig", "event_warping_loss"]
 
@@ -54,13 +50,24 @@ class LossConfig:
 
 def _per_event_flows(flow_map_tbhwc, event_list, res, overwrite):
     """Gather per-event flow from each pass's map ([B,T,H,W,2] -> [B,T,N,2]
-    as (y,x)); with overwrite, every pass gathers from the final map."""
-    b, t = event_list.shape[0], event_list.shape[1]
-    out = []
-    for ti in range(t):
-        fmap = flow_map_tbhwc[:, -1] if overwrite else flow_map_tbhwc[:, ti]
-        out.append(gather_event_flow(fmap, event_list[:, ti], res))
-    return jnp.stack(out, axis=1)
+    as (y,x)); with overwrite, every pass gathers from the final map.
+    One batched take_along_axis over all passes."""
+    b, t, n, _ = event_list.shape
+    h, w = res
+    if overwrite:
+        maps = jnp.broadcast_to(
+            flow_map_tbhwc[:, -1:], (b, t, h, w, 2)
+        )
+    else:
+        maps = flow_map_tbhwc
+    flat = maps.reshape(b, t, h * w, 2)
+    lin = (
+        event_list[..., 1].astype(jnp.int32) * w
+        + event_list[..., 2].astype(jnp.int32)
+    )
+    lin = jnp.clip(lin, 0, h * w - 1)
+    g = jnp.take_along_axis(flat, lin[..., None], axis=2)  # [B,T,N,2] (x,y)
+    return g[..., ::-1]  # -> (y, x)
 
 
 def _ts_image_loss(event_list_flat, event_flow_flat, pol_flat, tref, max_ts,

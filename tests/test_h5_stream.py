@@ -158,3 +158,36 @@ def test_shuffle_keeps_all_files(dataset):
     stream.shuffle()
     assert set(stream.files) == before
     stream.close()
+
+
+def test_time_mode_training_feed(dataset):
+    """Time-mode windows (variable N, padded bucket) train through the
+    scan step."""
+    import jax
+    import jax.numpy as jnp
+
+    from event_flow_tpu.loss.warping import LossConfig
+    from event_flow_tpu.models.registry import get_model
+    from event_flow_tpu.train.optim import make_optimizer
+    from event_flow_tpu.train.step import init_train_state, make_train_step
+
+    cfg = _config(dataset, mode="time", window=0.2, batch_size=1,
+                  max_events=4096)
+    stream = EventStream(cfg)
+    mcfg = {"name": "FireNet", "encoding": "cnt", "num_bins": 2,
+            "base_num_channels": 4, "kernel_size": 3,
+            "activations": ["relu", None], "mask_output": True,
+            "spiking_neuron": None}
+    model = get_model("FireNet", mcfg)
+    tx = make_optimizer("Adam", 1e-3, clip_grad=100.0)
+    step = jax.jit(make_train_step(
+        model, tx, RES, 2, LossConfig(RES, 32.0, 0.001, smoothing_mask=True)
+    ))
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), 1, RES, 2)
+    b1 = stream.next_batch()
+    b2 = stream.next_batch()
+    ev = jnp.asarray(np.stack([b1["events"], b2["events"]], axis=1))
+    va = jnp.asarray(np.stack([b1["valid"], b2["valid"]], axis=1))
+    state, loss = step(state, ev, va, jnp.zeros((1, 3)), jnp.asarray(False))
+    assert np.isfinite(float(loss))
+    stream.close()
