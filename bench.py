@@ -18,7 +18,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
+
+# Default to the lax.conv graph for the benchmark: the im2col formulation
+# is ~18% faster at runtime but its much larger compile destabilizes the
+# axon tunnel's remote worker. Override with EVFLOW_CONV_IMPL=auto on a
+# healthy toolchain.
+os.environ.setdefault("EVFLOW_CONV_IMPL", "xla")
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ pytestmark = pytest.mark.skipif(
 torch = pytest.importorskip("torch")
 
 if os.path.isdir(REF) and REF not in sys.path:
-    sys.path.insert(0, REF)
+    sys.path.append(REF)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
