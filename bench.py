@@ -35,7 +35,11 @@ import numpy as np
 BASELINE_WINDOWS_PER_SEC = 0.2126
 
 RES = (128, 128)
-B, T, N = 8, 10, 1000
+# late retry attempts shrink the batch: a memory-degraded tunnel worker
+# can crash on the full-size program (see verify skill notes)
+_ATTEMPT = int(os.environ.get("EVFLOW_BENCH_ATTEMPT", "0"))
+B = {0: 8, 1: 8, 2: 4, 3: 2}.get(_ATTEMPT, 8)
+T, N = 10, 1000
 
 
 def main():
@@ -106,7 +110,7 @@ def main():
             {
                 "metric": "train_event_windows_per_sec",
                 "value": round(windows_per_sec, 2),
-                "unit": "event-windows/s (LIFFireNet b8 128x128 w1000, full update)",
+                "unit": f"event-windows/s (LIFFireNet b{B} 128x128 w1000, full update)",
                 "vs_baseline": round(windows_per_sec / BASELINE_WINDOWS_PER_SEC, 1),
             }
         )

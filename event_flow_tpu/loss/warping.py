@@ -7,10 +7,17 @@ the training step scans the model over a fixed number of passes T and hands
 the loss the *stacked* static-shape arrays, so the whole 10-window BPTT
 graph lives inside one jit:
 
-    flow_maps[s] : [B, T, H, W, 2]   per-scale, per-pass flow maps (x, y)
+    flow_maps[s] : [B, T, H, W, 2] array OR (u, v) tuple of [B, T, H, W]
     event_list   : [B, T, N, 4]      (ts in [0,1], y, x, p)
     pol_mask     : [B, T, N, 2]      (pos, neg)
-    event_mask   : [B, T, H, W, 1]
+    event_mask   : [B, T, H, W, 1] or [B, T, H, W]
+
+TPU LAYOUT NOTE: arrays tile their trailing two dims to (8, 128), so any
+big buffer with a small minor dim (C=2 flow maps, C=16 scatter payloads)
+pads up to 64x in HBM. The loss therefore computes CHANNELS-FIRST
+internally — scalar [.., M] / [.., H, W] planes everywhere — and the
+training step passes flow maps as (u, v) tuples so the padded [B,T,H,W,2]
+form is never materialized.
 
 Equivalences to the reference's accumulator:
   - timestamp offset per pass (flow.py:90): ts + t
@@ -33,7 +40,7 @@ from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 
-from ..ops.iwe import get_interpolation_compact, interpolate_compact
+from ..ops.iwe import get_interpolation_compact_cf, interpolate_compact_cf
 
 __all__ = ["LossConfig", "event_warping_loss"]
 
@@ -48,67 +55,65 @@ class LossConfig:
     loss_scaling: bool = True  # normalize by nonzero-IWE pixels (flow.py:221)
 
 
-def _per_event_flows(flow_map_tbhwc, event_list, res, overwrite):
-    """Gather per-event flow from each pass's map ([B,T,H,W,2] -> [B,T,N,2]
-    as (y,x)); with overwrite, every pass gathers from the final map.
-    One batched take_along_axis over all passes."""
-    b, t, n, _ = event_list.shape
-    h, w = res
+def _split_uv(fmap):
+    """Accept [B,T,H,W,2] or (u, v); return scalar planes [B,T,H,W]."""
+    if isinstance(fmap, (tuple, list)):
+        return fmap[0], fmap[1]
+    return fmap[..., 0], fmap[..., 1]
+
+
+def _per_event_flows(u, v, lin, overwrite):
+    """Gather per-event flow from each pass's map.
+
+    u, v: [B, T, H, W]; lin: [B, T, N] linear pixel indices.
+    Returns (fy, fx) [B, T, N] — the warp uses (y, x) = (v, u)
+    (reference swaps components at the gather, iwe.py:115-119).
+    With overwrite, every pass gathers from the final pass's map
+    (flow.py:398-418)."""
+    b, t, h, w = u.shape
+    uf = u.reshape(b, t, h * w)
+    vf = v.reshape(b, t, h * w)
     if overwrite:
-        maps = jnp.broadcast_to(
-            flow_map_tbhwc[:, -1:], (b, t, h, w, 2)
-        )
-    else:
-        maps = flow_map_tbhwc
-    flat = maps.reshape(b, t, h * w, 2)
-    lin = (
-        event_list[..., 1].astype(jnp.int32) * w
-        + event_list[..., 2].astype(jnp.int32)
-    )
-    lin = jnp.clip(lin, 0, h * w - 1)
-    g = jnp.take_along_axis(flat, lin[..., None], axis=2)  # [B,T,N,2] (x,y)
-    return g[..., ::-1]  # -> (y, x)
+        uf = jnp.broadcast_to(uf[:, -1:], uf.shape)
+        vf = jnp.broadcast_to(vf[:, -1:], vf.shape)
+    fx = jnp.take_along_axis(uf, lin, axis=2)
+    fy = jnp.take_along_axis(vf, lin, axis=2)
+    return fy, fx
 
 
-def _ts_image_loss(event_list_flat, event_flow_flat, pol_flat, tref, max_ts,
+def _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, tref, max_ts,
                    cfg: LossConfig):
-    """One warp direction's loss term (flow.py:196-259): scatter the
-    pos/neg count and pos/neg (tref-relative) timestamp images in a single
-    channelled scatter, normalize, square, sum."""
+    """One warp direction's loss term (flow.py:196-259), channels-first:
+    one compact scatter produces the pos/neg count and pos/neg
+    (tref-relative) timestamp images. All operands are [B, M] planes."""
     res = cfg.resolution
-    # compact bilinear scatter: one index row per event, the 4 neighbor
-    # weights x 4 payload channels ride as a 16-channel payload
-    # (4x fewer scatter rows than the reference's 4N expansion)
-    idx, w4 = get_interpolation_compact(
-        event_list_flat, event_flow_flat, tref, res, cfg.flow_scaling
-    )  # [B, M], [B, M, 4]
-    ts = event_list_flat[..., 0:1]
+    idx, w4 = get_interpolation_compact_cf(
+        ts, ys, xs, fy, fx, tref, res, cfg.flow_scaling
+    )  # [B, M], [B, 4, M]
     # forward warp accumulates ts, backward accumulates (max_ts - ts)
     # (flow.py:206-211 vs :239-244)
     ts_w = ts if tref != 0 else (max_ts - ts)
-    payload = jnp.concatenate([pol_flat, ts_w * pol_flat], axis=-1)  # [B,M,4]
-    stack = (w4[..., :, None] * payload[..., None, :]).reshape(
-        *payload.shape[:2], 16
+    payload = jnp.stack([pos, neg, ts_w * pos, ts_w * neg], axis=1)  # [B,4,M]
+    stack = (w4[:, :, None, :] * payload[:, None, :, :]).reshape(
+        payload.shape[0], 16, payload.shape[-1]
     )
-    img = interpolate_compact(idx, stack, res, 4)  # [B,H,W,4]
-    iwe = img[..., 0:2]
-    iwe_ts = img[..., 2:4]
+    img = interpolate_compact_cf(idx, stack, res, 4)  # [B, 4, H, W]
+    iwe = img[:, 0:2]
+    iwe_ts = img[:, 2:4]
 
     ts_img = iwe_ts / (iwe + 1e-9) / max_ts  # (flow.py:212-215)
     per_batch = jnp.sum(ts_img**2, axis=(1, 2, 3))  # pos+neg together
     if cfg.loss_scaling:
-        nonzero_px = (iwe[..., 0] + iwe[..., 1]) > 0
+        nonzero_px = (iwe[:, 0] + iwe[:, 1]) > 0
         denom = jnp.sum(nonzero_px, axis=(1, 2)).astype(ts_img.dtype)
         per_batch = per_batch / (denom + 1e-9)
     return jnp.sum(per_batch)
 
 
-def _smoothness(flow_map_tbhwc, event_mask, cfg: LossConfig):
+def _smoothness(u, v, mask, cfg: LossConfig):
     """Charbonnier smoothness over 4 spatial directions + pass axis
-    (flow.py:262-294). flow_map [B,T,H,W,2]; event_mask [B,T,H,W,1]."""
-    u = flow_map_tbhwc[..., 0]  # x component [B,T,H,W]
-    v = flow_map_tbhwc[..., 1]
-    m = event_mask[..., 0]
+    (flow.py:262-294). u, v, mask: [B, T, H, W]."""
+    m = mask
 
     def charb(d):
         return jnp.sqrt(d**2 + 1e-6)
@@ -139,46 +144,61 @@ def _smoothness(flow_map_tbhwc, event_mask, cfg: LossConfig):
         total = total + flow_dt.sum()
         components += 1
     total = total / components
-    total = total / flow_map_tbhwc.shape[1]  # passes (flow.py:294)
+    total = total / u.shape[1]  # passes (flow.py:294)
     return total
 
 
-def event_warping_loss(flow_maps: Sequence[jnp.ndarray], event_list, pol_mask,
+def event_warping_loss(flow_maps: Sequence, event_list, pol_mask,
                        event_mask, cfg: LossConfig):
     """Full loss over all flow scales (flow.py:176-301).
 
-    Args (shapes in module docstring). ``flow_maps`` is a list over scales,
-    each entry already at full resolution (model contract). Invalid/padded
-    events must have zero ``pol_mask`` and coordinates inside the frame
-    (or will be purged by feasibility masking).
+    Args (shapes in module docstring). ``flow_maps`` is a list over scales;
+    each entry is either a [B,T,H,W,2] array (x, y) or a (u, v) tuple of
+    [B,T,H,W] planes (preferred on TPU — avoids lane padding). Invalid /
+    padded events must have zero ``pol_mask`` and coordinates that fail the
+    feasibility mask.
 
     Returns scalar loss (summed over batch, like the reference).
     """
     b, t, n, _ = event_list.shape
-    res = cfg.resolution
+    h, w = cfg.resolution
     max_ts = float(t)
 
-    # ts offset per pass (flow.py:90) and flatten passes into the event axis
-    ts_off = event_list[..., 0] + jnp.arange(t, dtype=event_list.dtype)[None, :, None]
-    events = jnp.concatenate([ts_off[..., None], event_list[..., 1:]], axis=-1)
-    events_flat = events.reshape(b, t * n, 4)
-    pol_flat = pol_mask.reshape(b, t * n, 2)
+    # scalar event planes [B, T*N] (ts offset per pass, flow.py:90)
+    ts = (
+        event_list[..., 0]
+        + jnp.arange(t, dtype=event_list.dtype)[None, :, None]
+    ).reshape(b, t * n)
+    ys = event_list[..., 1].reshape(b, t * n)
+    xs = event_list[..., 2].reshape(b, t * n)
+    pos = pol_mask[..., 0].reshape(b, t * n)
+    neg = pol_mask[..., 1].reshape(b, t * n)
 
+    lin = (
+        event_list[..., 1].astype(jnp.int32) * w
+        + event_list[..., 2].astype(jnp.int32)
+    )
+    lin = jnp.clip(lin, 0, h * w - 1)  # [B, T, N]
+
+    mask = event_mask[..., 0] if event_mask.ndim == 5 else event_mask
     if cfg.overwrite_intermediate:
-        mask_sm = (jnp.sum(event_mask, axis=1, keepdims=True) > 0).astype(
-            event_mask.dtype
-        )  # (flow.py:149-150)
+        mask_sm = (jnp.sum(mask, axis=1, keepdims=True) > 0).astype(mask.dtype)
     else:
-        mask_sm = event_mask
+        mask_sm = mask
 
     total = 0.0
     for fmap in flow_maps:
-        ef = _per_event_flows(fmap, event_list, res, cfg.overwrite_intermediate)
-        ef_flat = ef.reshape(b, t * n, 2)
-        fw = _ts_image_loss(events_flat, ef_flat, pol_flat, max_ts, max_ts, cfg)
-        bw = _ts_image_loss(events_flat, ef_flat, pol_flat, 0.0, max_ts, cfg)
-        fmap_sm = fmap[:, -1:] if cfg.overwrite_intermediate else fmap
-        sm = _smoothness(fmap_sm, mask_sm, cfg)
+        u, v = _split_uv(fmap)
+        fy, fx = _per_event_flows(u, v, lin, cfg.overwrite_intermediate)
+        fy = fy.reshape(b, t * n)
+        fx = fx.reshape(b, t * n)
+        fw = _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, max_ts, max_ts, cfg)
+        bw = _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, 0.0, max_ts, cfg)
+        if cfg.overwrite_intermediate:
+            u_sm, v_sm = u[:, -1:], v[:, -1:]
+        else:
+            u_sm, v_sm = u, v
+        sm = _smoothness(u_sm, v_sm, mask_sm, cfg)
         total = total + fw + bw + cfg.flow_regul_weight * sm
 
     return total / len(flow_maps)

@@ -149,6 +149,57 @@ def polarity_mask(ps, valid=None):
     return m
 
 
+def encode_windows_cf(events, res, num_bins, valid=None, round_ts=False):
+    """Channels-FIRST batched multi-window encoding.
+
+    Like ``encode_windows`` but every large array keeps a big minor dim so
+    nothing lane-pads on TPU (see ops/scatter.py::scatter_add_cf):
+      event_cnt [B,T,2,H,W], event_voxel [B,T,nb,H,W],
+      event_mask [B,T,H,W], event_list [B,T,N,4], pol_mask [B,T,N,2].
+    The per-window NHWC transpose for the conv stack happens inside the
+    scan body (one window's working set, not T stacked buffers).
+    """
+    from .scatter import scatter_add_cf
+
+    b, t, n, _ = events.shape
+    h, w = res
+    flat = events.reshape(b * t, n, 4)
+    fvalid = valid.reshape(b * t, n) if valid is not None else None
+    ev = format_events(flat, valid=fvalid)
+    ts, ys, xs, ps = ev[..., 0], ev[..., 1], ev[..., 2], ev[..., 3]
+
+    idx, inb = _linear_idx(ys, xs, res)
+    mask = inb if fvalid is None else (inb & (fvalid > 0))
+    maskf = mask.astype(ps.dtype)
+
+    pos = jnp.where(ps > 0, ps, 0.0) * maskf
+    neg = jnp.where(ps < 0, -ps, 0.0) * maskf
+    tb = ts * (num_bins - 1)
+    if round_ts:
+        tb = jnp.round(tb)
+    planes = [pos, neg]
+    for bi in range(num_bins):
+        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(tb - bi))
+        planes.append(ps * wgt * maskf)
+    vals_cf = jnp.stack(planes, axis=1)  # [B*T, 2+nb, N]
+
+    img = scatter_add_cf(idx, vals_cf, h * w).reshape(
+        b, t, 2 + num_bins, h, w
+    )
+    cnt = img[:, :, :2]
+    voxel = img[:, :, 2:]
+    emask = ((cnt[:, :, 0] + cnt[:, :, 1]) > 0).astype(cnt.dtype)
+
+    pol = polarity_mask(ps, valid=fvalid).reshape(b, t, n, 2)
+    return {
+        "event_list": ev.reshape(b, t, n, 4),
+        "event_cnt": cnt,
+        "event_voxel": voxel,
+        "event_mask": emask,
+        "pol_mask": pol,
+    }
+
+
 def encode_windows(events, res, num_bins, valid=None, round_ts=False):
     """Batched multi-window encoding with ONE scatter for everything.
 

@@ -155,6 +155,56 @@ def get_interpolation_compact(events, flow, tref, res, flow_scaling):
     return idx_pad, weights
 
 
+def get_interpolation_compact_cf(ts, ys, xs, fy, fx, tref, res, flow_scaling):
+    """Channels-first compact bilinear warp from scalar event planes.
+
+    All inputs are [B, M] (lane dim = M on TPU, so nothing pads):
+    ts/ys/xs event coordinates, (fy, fx) per-event flow. Returns
+    (idx_pad [B, M], w4_cf [B, 4, M]) with neighbor order tl/tr/bl/br.
+    Same math as ``get_interpolation_compact``.
+    """
+    h, w = res
+    wy = ys + (tref - ts) * fy * flow_scaling
+    wx = xs + (tref - ts) * fx * flow_scaling
+    top_y = jnp.floor(wy)
+    left_x = jnp.floor(wx)
+    dy = wy - top_y
+    dx = wx - left_x
+    w4 = jnp.stack(
+        [
+            (1.0 - dy) * (1.0 - dx),
+            (1.0 - dy) * dx,
+            dy * (1.0 - dx),
+            dy * dx,
+        ],
+        axis=1,
+    )  # [B, 4, M]
+    yn = jnp.stack([top_y, top_y, top_y + 1, top_y + 1], axis=1)
+    xn = jnp.stack([left_x, left_x + 1, left_x, left_x + 1], axis=1)
+    feas = ((yn >= 0) & (yn < h) & (xn >= 0) & (xn < w)).astype(w4.dtype)
+    w4 = w4 * feas
+    py = jnp.clip(top_y + 1, 0, h).astype(jnp.int32)
+    px = jnp.clip(left_x + 1, 0, w).astype(jnp.int32)
+    return py * (w + 2) + px, w4
+
+
+def interpolate_compact_cf(idx_pad, stack_cf, res, num_channels):
+    """Channels-first compact scatter: stack_cf [B, 4*C, M] laid out
+    neighbor-major -> [B, C, H, W]. No lane padding anywhere (the scatter
+    input/output keep M / cells minor)."""
+    from .scatter import scatter_add_cf
+
+    h, w = res
+    b = idx_pad.shape[0]
+    img = scatter_add_cf(idx_pad, stack_cf, (h + 2) * (w + 2))
+    img = img.reshape(b, 4, num_channels, h + 2, w + 2)
+    tl = img[:, 0, :, 1:h + 1, 1:w + 1]
+    tr = img[:, 1, :, 1:h + 1, 0:w]
+    bl = img[:, 2, :, 0:h, 1:w + 1]
+    br = img[:, 3, :, 0:h, 0:w]
+    return tl + tr + bl + br
+
+
 def interpolate_compact(idx_pad, weight_stack, res, num_channels):
     """Scatter compact bilinear contributions and combine shifts.
 

@@ -54,6 +54,44 @@ def _scatter_add_xla(idx, vals, size):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
+def scatter_add_cf(idx, vals_cf, size):
+    """Channels-FIRST batched scatter-add: vals [B, C, M] -> [B, C, size].
+
+    TPU layout note: arrays tile their last two dims to (8, 128) lanes, so
+    a [B, M, C] payload with small C pads the lane dim up to 128 (e.g.
+    64x memory blowup for C=2). Keeping the event axis M / cell axis S
+    minor avoids ALL padding on the scatter input and output — this is the
+    production formulation; ``scatter_add`` remains for channels-last
+    callers.
+    """
+    return _scatter_cf_impl(idx, vals_cf, size)
+
+
+def _scatter_cf_impl(idx, vals_cf, size):
+    def per_batch(i, v):  # v [C, M]
+        return jax.vmap(
+            lambda vv: jax.ops.segment_sum(vv, i, num_segments=size)
+        )(v)
+
+    return jax.vmap(per_batch)(idx, vals_cf)
+
+
+def _scatter_cf_fwd(idx, vals_cf, size):
+    return _scatter_cf_impl(idx, vals_cf, size), idx
+
+
+def _scatter_cf_bwd(size, idx, g):
+    # g [B, C, size] -> gather at idx per channel -> [B, C, M]
+    gv = jax.vmap(
+        lambda i, gb: jnp.take(gb, i, axis=-1)  # gb [C, size], i [M]
+    )(idx, g)
+    return (None, gv)
+
+
+scatter_add_cf.defvjp(_scatter_cf_fwd, _scatter_cf_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def scatter_add(idx, vals, size):
     """Batched scatter-add with analytic VJP.
 

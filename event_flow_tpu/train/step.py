@@ -26,7 +26,7 @@ import optax
 
 from ..data.augment import augment_events
 from ..loss.warping import LossConfig, event_warping_loss
-from ..ops.encodings import encode_windows
+from ..ops.encodings import encode_windows_cf
 
 __all__ = ["TrainState", "make_train_step", "make_sequence_forward"]
 
@@ -47,33 +47,41 @@ def make_sequence_forward(model, res, num_bins, round_encoding=False,
     """
 
     def body(state, xt):
-        params, (voxel, cnt) = xt[0], xt[1]
+        params, (voxel_cf, cnt_cf) = xt[0], xt[1]
+        # per-window NHWC transpose for the conv stack (one window's
+        # working set; the T-stacked buffers stay channels-first)
+        voxel = jnp.moveaxis(voxel_cf, 1, -1)
+        cnt = jnp.moveaxis(cnt_cf, 1, -1)
         out, state = model.apply(params, voxel, cnt, state)
-        flows = tuple(out["flow"])
+        # flow maps return as (u, v) scalar planes: a stacked [T,B,H,W,2]
+        # buffer would lane-pad 64x on TPU
+        flows = tuple((f[..., 0], f[..., 1]) for f in out["flow"])
         return state, flows
 
     if remat:
         body = jax.checkpoint(body)
 
     def sequence_forward(params, model_state, events, valid, aug_flags):
-        # All T windows' encodings in ONE channelled scatter, outside the
-        # scan (30 serialized per-window TPU scatters otherwise).
+        # All T windows' encodings in ONE channels-first scatter, outside
+        # the scan (30 serialized per-window TPU scatters otherwise).
         if augment:
             b, t, n, _ = events.shape
             events = augment_events(
                 events.reshape(b, t * n, 4), aug_flags, res
             ).reshape(b, t, n, 4)
-        enc = encode_windows(events, res, num_bins, valid=valid,
-                             round_ts=round_encoding)
-        vox_t = jnp.moveaxis(enc["event_voxel"], 1, 0)  # [T,B,H,W,C]
+        enc = encode_windows_cf(events, res, num_bins, valid=valid,
+                                round_ts=round_encoding)
+        vox_t = jnp.moveaxis(enc["event_voxel"], 1, 0)  # [T,B,C,H,W]
         cnt_t = jnp.moveaxis(enc["event_cnt"], 1, 0)
 
         def scan_body(state, xs):
             return body(state, (params, xs))
 
         state, flows = jax.lax.scan(scan_body, model_state, (vox_t, cnt_t))
-        # [T, B, ...] -> [B, T, ...]
-        flows = tuple(jnp.moveaxis(f, 0, 1) for f in flows)
+        # [T, B, H, W] -> [B, T, H, W] per plane; keep (u, v) tuple form
+        flows = tuple(
+            (jnp.moveaxis(u, 0, 1), jnp.moveaxis(v, 0, 1)) for u, v in flows
+        )
         return (state, flows, enc["event_list"], enc["pol_mask"],
                 enc["event_mask"])
 
