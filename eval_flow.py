@@ -119,15 +119,18 @@ def test(args):
             flow_vis = np.asarray(win["flow"])
             if model.mask_output:
                 flow_vis = flow_vis * np.asarray(win["event_mask"])
+            vis_batch = {"event_cnt": win["event_cnt"]}
+            if "frames" in batch:
+                vis_batch["frames"] = batch["frames"]
             if config["vis"].get("enabled"):
-                vis.update(None, flow_vis, win["iwe"],
+                vis.update(vis_batch, flow_vis, win["iwe"],
                            events_window=win.get("events_window"),
                            masked_window_flow=win.get("flow_window"),
                            iwe_window=win.get("iwe_window"))
             if config["vis"].get("store"):
                 vis.store(
                     stream.slot_filename(0).split(".")[0],
-                    None, flow_vis, win["iwe"],
+                    vis_batch, flow_vis, win["iwe"],
                     ts=stream.last_proc_timestamp,
                     events_window=win.get("events_window"),
                     masked_window_flow=win.get("flow_window"),

@@ -102,6 +102,7 @@ class Evaluator:
             "event_flow": event_flow,
             "flow_last": flow_last,
             "iwe": iwe,
+            "event_cnt": enc["event_cnt"],
             "activity": out["activity"],
         }
 
@@ -199,7 +200,8 @@ class Evaluator:
         )
         self._buffers.append(win)
         vis = {"flow": win["flow_last"], "iwe": win["iwe"],
-               "event_mask": win["event_mask"], "activity": win["activity"]}
+               "event_mask": win["event_mask"], "event_cnt": win["event_cnt"],
+               "activity": win["activity"]}
 
         if len(self._buffers) >= self.k_windows:
             stacked = {

@@ -127,6 +127,11 @@ class Visualization:
 
         if batch is not None and "event_cnt" in batch:
             write("events", events_to_image(np.asarray(batch["event_cnt"])[0]))
+        if batch is not None and "frames" in batch:
+            # APS grayscale frames (frames mode; reference
+            # visualization.py:153-163 stores frames/ trees)
+            fr = np.asarray(batch["frames"])[0]
+            write("frames", fr[0].astype(np.uint8))
         if flow is not None:
             write("flow", flow_to_image(np.asarray(flow)[0]))
         if iwe is not None:
