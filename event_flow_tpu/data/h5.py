@@ -62,17 +62,39 @@ class _TimestampedGroup:
 
 
 class H5SequenceFile:
-    """One open HDF5 sequence."""
+    """One open HDF5 sequence.
+
+    Timestamp search is memory-bounded: small files load ``events/ts``
+    once; large files (> ``TS_EAGER_MAX`` events) keep only a ~4k-point
+    sampled index in RAM and bisect on disk inside the bracketing stride
+    (the reference bisects the on-disk dataset recursively,
+    dataloader/encodings.py:9-27 — same I/O bound, two reads per query).
+    Real MVSEC/ECD sequences have 1e8+ events; eager float64 loading per
+    batch slot would cost GBs.
+    """
+
+    TS_EAGER_MAX = 1 << 22  # ~32 MB of float64 per slot at most
+    TS_SAMPLE_TARGET = 4096
 
     def __init__(self, path, mode="events"):
         self.path = path
         self.file = h5py.File(path, "r")
         self.t0 = self.file.attrs["t0"]
         self.duration = self.file.attrs.get("duration")
-        self.ts_all = np.asarray(self.file["events/ts"])  # loaded once
-        self.num_events = len(self.ts_all)
+        ds = self.file["events/ts"]
+        self.num_events = int(ds.shape[0])
+        if self.num_events <= self.TS_EAGER_MAX:
+            self.ts_all = np.asarray(ds)
+            self._ts_stride = 0
+            self._ts_samples = None
+        else:
+            self.ts_all = None
+            self._ts_stride = int(
+                np.ceil(self.num_events / self.TS_SAMPLE_TARGET)
+            )
+            self._ts_samples = np.asarray(ds[:: self._ts_stride])
         self.last_ts = (
-            self.ts_all[-1] - self.t0 if self.num_events else 0.0
+            float(ds[-1]) - self.t0 if self.num_events else 0.0
         )
         self.frames = None
         self.flowmaps = None
@@ -82,7 +104,18 @@ class H5SequenceFile:
             self.flowmaps = _TimestampedGroup(self.file[mode.replace("gtflow_", "flow_")])
 
     def find_ts_index(self, timestamp):
-        return int(np.searchsorted(self.ts_all, timestamp, side="left"))
+        if self.ts_all is not None:
+            return int(np.searchsorted(self.ts_all, timestamp, side="left"))
+        j = int(np.searchsorted(self._ts_samples, timestamp, side="left"))
+        lo = max(0, (j - 1) * self._ts_stride)
+        hi = min(self.num_events, j * self._ts_stride + 1)
+        chunk = np.asarray(self.file["events/ts"][lo:hi])
+        return lo + int(np.searchsorted(chunk, timestamp, side="left"))
+
+    def _ts_slice(self, idx0, idx1):
+        if self.ts_all is not None:
+            return self.ts_all[idx0:idx1]
+        return np.asarray(self.file["events/ts"][idx0:idx1])
 
     def get_events(self, idx0, idx1):
         """Slice events; returns (xs, ys, ts, ps) with ts shifted to t0=0
@@ -90,7 +123,7 @@ class H5SequenceFile:
         e = self.file
         xs = np.asarray(e["events/xs"][idx0:idx1], np.float32)
         ys = np.asarray(e["events/ys"][idx0:idx1], np.float32)
-        ts = (self.ts_all[idx0:idx1] - self.t0).astype(np.float32)
+        ts = (self._ts_slice(idx0, idx1) - self.t0).astype(np.float32)
         ps = np.asarray(e["events/ps"][idx0:idx1], np.float32) * 2.0 - 1.0
         return xs, ys, ts, ps
 

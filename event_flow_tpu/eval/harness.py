@@ -62,7 +62,7 @@ class Evaluator:
         self._step = jax.jit(self._window_step)
         self._results = {}
         self._buffers = []
-        self._idx_aee = 0
+        self._idx_aee = None  # per-slot cadence counters, sized lazily
 
     # -- jitted per-window step ------------------------------------------
 
@@ -220,28 +220,36 @@ class Evaluator:
                 # (events_window / iwe_window / flow_window)
                 vis.update(self._window_vis(stacked))
             if "AEE" in self.metrics and "gtflow" in batch:
-                # windows without valid GT don't advance the cadence
-                # (reference: eval_flow.py:170-174 continues before the
-                # idx_AEE increment)
-                ok = float(batch["dt_gt"][0]) > 0.0
-                if ok:
-                    self._idx_aee += 1
-                if ok and self._idx_aee == self.aee_every:
+                # per-slot cadence counters: windows without valid GT don't
+                # advance a slot's cadence (reference: eval_flow.py:170-174
+                # continues before the idx_AEE increment; the reference only
+                # ever runs AEE at batch 1 — per-slot counters generalize
+                # that correctly to batch > 1, where slots stream different
+                # files)
+                if self._idx_aee is None:
+                    self._idx_aee = np.zeros(b, np.int64)
+                ok = np.asarray(batch["dt_gt"]) > 0.0
+                self._idx_aee += ok
+                fire = ok & (self._idx_aee >= self.aee_every)
+                if fire.any():
                     a, pct = self._compute_aee(
                         win["flow_last"], jnp.asarray(batch["gtflow"]),
                         win["event_mask"], jnp.asarray(batch["dt_input"]),
                         jnp.asarray(batch["dt_gt"]),
                     )
                     self._accumulate("AEE", np.asarray(a), filenames,
-                                     percent=np.asarray(pct))
-                if self._idx_aee >= self.aee_every:
-                    self._idx_aee = 0
+                                     percent=np.asarray(pct),
+                                     slot_mask=fire)
+                self._idx_aee[self._idx_aee >= self.aee_every] = 0
             self.reset()
         return model_state, hot_state, vis
 
-    def _accumulate(self, metric, values, filenames, percent=None):
+    def _accumulate(self, metric, values, filenames, percent=None,
+                    slot_mask=None):
         """Per-file running means (reference: eval_flow.py:183-199)."""
         for slot, fname in enumerate(filenames):
+            if slot_mask is not None and not slot_mask[slot]:
+                continue
             entry = self._results.setdefault(fname, {}).setdefault(
                 metric, {"metric": 0.0, "it": 0, "percent": 0.0}
             )

@@ -60,11 +60,40 @@ def resolve_activation(name: Optional[str]):
     raise KeyError(f"Unknown activation {name!r}")
 
 
-def _check_norm(norm):
-    if norm not in (None, "none"):
-        raise NotImplementedError(
-            f"norm={norm!r} is not supported (reference configs never set it)"
-        )
+class Norm2d(nn.Module):
+    """BN / IN over NHWC activations (reference: submodules.py:46-56).
+
+    Matches torch training-mode semantics: ``BN`` normalizes per channel
+    over (N, H, W) with learnable scale+bias (BatchNorm2d affine=True);
+    ``IN`` normalizes per (sample, channel) over (H, W) with no affine
+    (InstanceNorm2d default). Running statistics are not tracked — no
+    shipped reference config enables norms, and training always uses batch
+    statistics in torch too."""
+
+    kind: str
+
+    @nn.compact
+    def __call__(self, x):
+        eps = 1e-5
+        if self.kind == "BN":
+            mean = x.mean(axis=(0, 1, 2))
+            var = x.var(axis=(0, 1, 2))
+            y = (x - mean) * jax.lax.rsqrt(var + eps)
+            scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+            bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+            return y * scale + bias
+        mean = x.mean(axis=(1, 2), keepdims=True)
+        var = x.var(axis=(1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def _apply_norm(norm, y):
+    """Post-conv norm dispatch; call inside @nn.compact."""
+    if norm in (None, "none"):
+        return y
+    if norm in ("BN", "IN"):
+        return Norm2d(norm, name="norm")(y)
+    raise NotImplementedError(f"norm={norm!r} is not supported")
 
 
 def _normal_init(mu, sigma):
@@ -86,11 +115,12 @@ class ConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        _check_norm(self.norm)
         init = self.w_scale if self.w_scale is not None else "torch_default"
         y = Conv2d(
-            self.features, self.kernel_size, self.stride, init=init, name="conv"
+            self.features, self.kernel_size, self.stride, init=init,
+            use_bias=self.norm != "BN", name="conv"
         )(x)
+        y = _apply_norm(self.norm, y)
         return resolve_activation(self.activation)(y)
 
 
@@ -107,12 +137,13 @@ class ConvLayerS(nn.Module):
 
     @nn.compact
     def __call__(self, x, state, residual=0.0):
-        _check_norm(self.norm)
         init = self.w_scale if self.w_scale is not None else "torch_default"
         y = Conv2d(
-            self.features, self.kernel_size, self.stride, init=init, name="conv"
+            self.features, self.kernel_size, self.stride, init=init,
+            use_bias=self.norm != "BN", name="conv"
         )(x)
-        y = y + residual
+        # norm before the residual injection (reference: submodules.py:74-79)
+        y = _apply_norm(self.norm, y) + residual
         return resolve_activation(self.activation)(y), state
 
     @nn.nowrap
@@ -132,8 +163,11 @@ class TransposedConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        _check_norm(self.norm)
-        y = ConvTranspose2dX2(self.features, self.kernel_size, name="deconv")(x)
+        y = ConvTranspose2dX2(
+            self.features, self.kernel_size,
+            use_bias=self.norm != "BN", name="deconv"
+        )(x)
+        y = _apply_norm(self.norm, y)
         return resolve_activation(self.activation)(y)
 
 
@@ -148,10 +182,11 @@ class UpsampleConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        _check_norm(self.norm)
-        y = Conv2d(self.features, self.kernel_size, self.stride, name="conv")(
-            upsample2x_bilinear(x)
-        )
+        y = Conv2d(
+            self.features, self.kernel_size, self.stride,
+            use_bias=self.norm != "BN", name="conv"
+        )(upsample2x_bilinear(x))
+        y = _apply_norm(self.norm, y)
         return resolve_activation(self.activation)(y)
 
 
@@ -166,10 +201,17 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        _check_norm(self.norm)
         act = resolve_activation(self.activation)
-        out1 = act(Conv2d(self.features, 3, name="conv1")(x))
-        out2 = Conv2d(self.features, 3, name="conv2")(out1)
+        bias = self.norm != "BN"
+        out1 = Conv2d(self.features, 3, use_bias=bias, name="conv1")(x)
+        if self.norm in ("BN", "IN"):
+            out1 = Norm2d(self.norm, name="norm1")(out1)
+        out1 = act(out1)
+        out2 = Conv2d(self.features, 3, use_bias=bias, name="conv2")(out1)
+        if self.norm in ("BN", "IN"):
+            out2 = Norm2d(self.norm, name="norm2")(out2)
+        elif self.norm not in (None, "none"):
+            raise NotImplementedError(f"norm={self.norm!r} is not supported")
         return act(out2 + x)
 
 
@@ -298,7 +340,8 @@ class ConvLeaky(nn.Module):
 
     @nn.compact
     def __call__(self, x, state, residual=0.0):
-        _check_norm(self.norm)
+        # the reference's ConvLeaky accepts a norm kwarg but never applies it
+        # (submodules.py:516 — no norm_layer is built); same here
         ff = Conv2d(self.features, self.kernel_size, self.stride, name="ff")(x)
         leak_p = self.param("leak", _normal_init(*self.leak), (self.features,))
         if not self.learn_leak:

@@ -126,6 +126,7 @@ class Conv2d(nn.Module):
     stride: int = 1
     use_bias: bool = True
     init: object = "torch_default"
+    weight_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -152,6 +153,21 @@ class Conv2d(nn.Module):
             bias_init = _torch_bias_init(cin * k * k)
 
         kernel = self.param("kernel", kernel_init, shape)
+        if self.weight_norm:
+            # torch nn.utils.weight_norm(conv) parity
+            # (spiking_submodules.py:87-88): w = g * v/||v|| with a
+            # per-output-channel norm over (kh, kw, Cin); g initialized to
+            # ||v_init|| so the initial weights are unchanged. The init
+            # closure captures the kernel param created just above — flax
+            # creates params in order during init, so the value is live.
+            def g_init(key, s, dtype=jnp.float32):
+                return jnp.sqrt(
+                    (kernel.astype(jnp.float32) ** 2).sum(axis=(0, 1, 2))
+                ).astype(dtype)
+
+            g = self.param("g", g_init, (self.features,))
+            norm = jnp.sqrt((kernel**2).sum(axis=(0, 1, 2), keepdims=True))
+            kernel = kernel / norm * g
         pad = k // 2
         xa, ka = _conv_operands(x, kernel)
         impl = _conv_impl_for(x.shape, k, self.stride)

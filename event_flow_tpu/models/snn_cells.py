@@ -84,10 +84,16 @@ class ConvLIF(_SpikingBase):
 
     @nn.compact
     def __call__(self, x, state, residual=0.0):
-        if self.norm not in (None, "none"):
-            raise NotImplementedError("weight/group norm not supported yet")
+        # norm options (reference: spiking_submodules.py:86-94): "weight"
+        # reparameterizes the ff conv, "group" normalizes the input current
+        # with GroupNorm(1, Cin) (the reference's min(1, C//4) is always 1)
+        wn = self.norm == "weight"
+        if self.norm == "group":
+            x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(x)
+        elif self.norm not in (None, "none", "weight"):
+            raise NotImplementedError(f"norm={self.norm!r} is not supported")
         ff = Conv2d(self.features, self.kernel_size, self.stride,
-                    use_bias=False, init="snn", name="ff")(x)
+                    use_bias=False, init="snn", weight_norm=wn, name="ff")(x)
         v, z = state
         thresh = jnp.maximum(
             self._neuron_param("thresh", self.thresh, self.features,
@@ -308,12 +314,23 @@ class ConvLIFRecurrent(_SpikingBase):
 
     @nn.compact
     def __call__(self, x, state):
+        # norms (reference: spiking_submodules.py:501-514, applied :518-529):
+        # "weight" reparameterizes both convs; "group" normalizes the ff
+        # input and the previous spikes (the normalized z also feeds the
+        # reset term, matching the reference's in-place overwrite at :529)
+        wn = self.norm == "weight"
+        if self.norm == "group":
+            x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm_ff")(x)
+        elif self.norm not in (None, "none", "weight"):
+            raise NotImplementedError(f"norm={self.norm!r} is not supported")
         ff = Conv2d(self.features, self.kernel_size, 1,
-                    use_bias=False, init="snn", name="ff")(x)
+                    use_bias=False, init="snn", weight_norm=wn, name="ff")(x)
         v, z = state
+        if self.norm == "group":
+            z = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm_rec")(z)
         # recurrent current from pre-detach spikes (spiking_submodules.py:530)
         rec = Conv2d(self.features, self.kernel_size, 1,
-                     use_bias=False, init="snn", name="rec")(z)
+                     use_bias=False, init="snn", weight_norm=wn, name="rec")(z)
         thresh = jnp.maximum(
             self._neuron_param("thresh", self.thresh, self.features,
                                self.learn_thresh), 0.01)

@@ -90,11 +90,13 @@ def shard_train_step(train_step, mesh, state_template, axis_name="data"):
             state_template.model_state, mesh, axis_name
         ),
     )
+    from ..train.loop import _donate_argnums
+
     return jax.jit(
         train_step,
         in_shardings=(state_shardings, events_s, valid_s, batch_s, repl),
         out_shardings=(state_shardings, repl),
-        donate_argnums=(0,),
+        donate_argnums=_donate_argnums(),
     )
 
 

@@ -25,6 +25,21 @@ from .step import TrainState, init_train_state, make_train_step
 __all__ = ["Trainer"]
 
 
+def _donate_argnums():
+    """Buffer donation for the train step: on by default, off on the axon
+    TPU tunnel (its PJRT plugin fails donated executions)."""
+    import os
+
+    env = os.environ.get("EVFLOW_DONATE")
+    if env is not None:
+        return (0,) if env == "1" else ()
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        version = ""
+    return () if "axon" in version else (0,)
+
+
 class Trainer:
     def __init__(self, config, tracker: Tracker = None, mesh=None):
         self.config = config
@@ -72,8 +87,11 @@ class Trainer:
             self.state = shard_state(self.state, mesh)
         else:
             # donate the carried TrainState buffers (params/opt/state are
-            # rebound every update)
-            self.step = jax.jit(step, donate_argnums=(0,))
+            # rebound every update) — except on the axon TPU tunnel, whose
+            # PJRT plugin rejects aliased input/output buffers with
+            # INVALID_ARGUMENT (observed 2026-08-16; override with
+            # EVFLOW_DONATE=1/0)
+            self.step = jax.jit(step, donate_argnums=_donate_argnums())
         self.mesh = mesh
 
         # accumulation buffers

@@ -6,8 +6,8 @@ Host-side rebuild of the reference's visualization utilities
 rendering is independent of the compute path.
 
 - ``flow_to_image``: HSV optical-flow rendering — hue = direction,
-  value = per-image max-normalized magnitude (the reference's colorwheel,
-  visualization.py:229-255)
+  value = per-image min-max-normalized magnitude (the reference's
+  colorwheel, visualization.py:229-255)
 - ``events_to_image``: green(positive)/red(negative) event counts with
   percentile normalization (visualization.py:269-315)
 - ``Visualization``: live OpenCV windows (``update``) and per-sequence PNG
@@ -24,22 +24,50 @@ import numpy as np
 __all__ = ["flow_to_image", "events_to_image", "Visualization", "vis_activity"]
 
 
-def flow_to_image(flow, max_flow=None):
-    """[H, W, 2] (x, y) flow -> [H, W, 3] uint8 BGR color wheel image."""
+def _hsv_to_rgb(hsv):
+    """Vectorized HSV->RGB, matplotlib convention (h, s, v all in [0, 1])."""
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = np.floor(h * 6.0).astype(np.int32) % 6
+    f = h * 6.0 - np.floor(h * 6.0)
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    choices = np.stack(
+        [
+            np.stack([v, t, p], -1),
+            np.stack([q, v, p], -1),
+            np.stack([p, v, t], -1),
+            np.stack([p, q, v], -1),
+            np.stack([t, p, v], -1),
+            np.stack([v, p, q], -1),
+        ]
+    )
+    return np.take_along_axis(
+        np.moveaxis(choices, 0, -2), i[..., None, None], axis=-2
+    )[..., 0, :]
+
+
+def flow_to_image(flow):
+    """[H, W, 2] (x, y) flow -> [H, W, 3] uint8 BGR color wheel image.
+
+    Matches the reference's scheme (visualization.py:229-255): hue =
+    (atan2(fy, fx) + pi) / 2pi, saturation = 1, value = per-image
+    **min-max**-normalized magnitude; the reference builds RGB via
+    matplotlib's hsv_to_rgb then converts RGB->BGR before cv2.imwrite
+    (visualization.py:180-182) — same stored bytes here."""
     fx, fy = np.asarray(flow[..., 0]), np.asarray(flow[..., 1])
     mag = np.sqrt(fx**2 + fy**2)
-    ang = np.arctan2(fy, fx)  # [-pi, pi]
-    scale = max_flow if max_flow else max(mag.max(), 1e-9)
-    hsv = np.zeros((*mag.shape, 3), np.uint8)
-    hsv[..., 0] = ((ang + np.pi) / (2 * np.pi) * 179).astype(np.uint8)
-    hsv[..., 1] = 255
-    hsv[..., 2] = np.clip(mag / scale * 255, 0, 255).astype(np.uint8)
-    try:
-        import cv2
-
-        return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
-    except ImportError:  # pragma: no cover
-        return hsv
+    min_mag = mag.min()
+    mag_range = mag.max() - min_mag
+    ang = (np.arctan2(fy, fx) + np.pi) / (2.0 * np.pi)
+    hsv = np.zeros((*mag.shape, 3), np.float64)
+    hsv[..., 0] = ang
+    hsv[..., 1] = 1.0
+    hsv[..., 2] = mag - min_mag
+    if mag_range != 0.0:
+        hsv[..., 2] /= mag_range
+    rgb = (255 * _hsv_to_rgb(hsv)).astype(np.uint8)
+    return rgb[..., ::-1]  # BGR for cv2.imwrite
 
 
 def events_to_image(event_cnt, percentile=99):

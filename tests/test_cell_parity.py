@@ -215,3 +215,149 @@ def test_nearest_resize_matches_torch():
     ref = F.interpolate(torch.from_numpy(x), scale_factor=(4.0, 4.0)).numpy()
     ours = _from_nhwc(resize_nearest(_nhwc(x), (16, 24)))
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_conv_layer_bn_matches_reference():
+    from models.submodules import ConvLayer as RefConvLayer
+
+    from event_flow_tpu.models.cells import ConvLayer
+
+    w = _rand((COUT, CIN, K, K), 30)
+    scale = np.abs(_rand((COUT,), 31)) + 0.5
+    shift = _rand((COUT,), 32)
+
+    ref = RefConvLayer(CIN, COUT, K, norm="BN")
+    ref.train()
+    with torch.no_grad():
+        ref.conv2d.weight.copy_(torch.from_numpy(w))
+        ref.norm_layer.weight.copy_(torch.from_numpy(scale))
+        ref.norm_layer.bias.copy_(torch.from_numpy(shift))
+
+    layer = ConvLayer(COUT, K, norm="BN")
+    params = {"params": {"conv": {"kernel": _hwio(w)},
+                         "norm": {"scale": jnp.asarray(scale),
+                                  "bias": jnp.asarray(shift)}}}
+    x = _rand((B, CIN, H, W), 33, 1.0)
+    y_t = ref(torch.from_numpy(x))
+    y_j = layer.apply(params, _nhwc(x))
+    np.testing.assert_allclose(_from_nhwc(y_j), y_t.detach().numpy(),
+                               atol=1e-5)
+
+
+def test_conv_layer_in_matches_reference():
+    from models.submodules import ConvLayer as RefConvLayer
+
+    from event_flow_tpu.models.cells import ConvLayer
+
+    w = _rand((COUT, CIN, K, K), 34)
+    bias = _rand((COUT,), 35)
+
+    ref = RefConvLayer(CIN, COUT, K, norm="IN")
+    ref.train()
+    with torch.no_grad():
+        ref.conv2d.weight.copy_(torch.from_numpy(w))
+        ref.conv2d.bias.copy_(torch.from_numpy(bias))
+
+    layer = ConvLayer(COUT, K, norm="IN")
+    params = {"params": {"conv": {"kernel": _hwio(w),
+                                  "bias": jnp.asarray(bias)}}}
+    x = _rand((B, CIN, H, W), 36, 1.0)
+    y_t = ref(torch.from_numpy(x))
+    y_j = layer.apply(params, _nhwc(x))
+    np.testing.assert_allclose(_from_nhwc(y_j), y_t.detach().numpy(),
+                               atol=1e-5)
+
+
+def test_conv_lif_weight_norm_matches_reference():
+    from models.spiking_submodules import ConvLIF as RefLIF
+
+    from event_flow_tpu.models.snn_cells import ConvLIF
+
+    w = _rand((COUT, CIN, K, K), 37)
+    g = np.abs(_rand((COUT,), 38)) + 0.5
+    leak = _rand((COUT,), 39, 1.0) - 3.0
+
+    ref = RefLIF(CIN, COUT, K, norm="weight")
+    with torch.no_grad():
+        ref.ff.weight_v.copy_(torch.from_numpy(w))
+        ref.ff.weight_g.copy_(torch.from_numpy(g.reshape(COUT, 1, 1, 1)))
+        ref.leak.copy_(torch.from_numpy(leak.reshape(COUT, 1, 1)))
+
+    cell = ConvLIF(COUT, K, norm="weight")
+    params = {"params": {"ff": {"kernel": _hwio(w), "g": jnp.asarray(g)},
+                         "leak": jnp.asarray(leak),
+                         "thresh": ref.thresh.detach().numpy().reshape(-1)}}
+
+    x = _rand((B, CIN, H, W), 40, 1.0)
+    state_t = None
+    state_j = cell.zero_state(B, H, W)
+    for _ in range(3):
+        with torch.no_grad():
+            z_t, state_t = ref(torch.from_numpy(x), state_t)
+        z_j, state_j = cell.apply(params, _nhwc(x), state_j)
+        np.testing.assert_allclose(_from_nhwc(z_j), z_t.numpy(), atol=1e-5)
+
+
+def test_conv_lif_weight_norm_init_matches_torch():
+    """Fresh-init parity of the weight-norm reparameterization: at init
+    g = ||v|| so the effective kernel equals the raw init kernel
+    (torch nn.utils.weight_norm semantics)."""
+    from event_flow_tpu.models.snn_cells import ConvLIF
+
+    cell = ConvLIF(COUT, K, norm="weight")
+    x = jnp.zeros((B, H, W, CIN))
+    params = cell.init(jax.random.PRNGKey(0), x, cell.zero_state(B, H, W))
+    v = params["params"]["ff"]["kernel"]
+    g = params["params"]["ff"]["g"]
+    np.testing.assert_allclose(
+        np.asarray(g), np.sqrt((np.asarray(v) ** 2).sum(axis=(0, 1, 2))),
+        rtol=1e-6,
+    )
+
+
+def test_conv_lif_recurrent_group_norm_matches_reference():
+    from models.spiking_submodules import ConvLIFRecurrent as RefLIFRec
+
+    from event_flow_tpu.models.snn_cells import ConvLIFRecurrent
+
+    w_ff = _rand((COUT, CIN, K, K), 41)
+    w_rec = _rand((COUT, COUT, K, K), 42)
+    leak = _rand((COUT,), 43, 1.0) - 3.0
+    gn_ff_w = np.abs(_rand((CIN,), 44)) + 0.5
+    gn_ff_b = _rand((CIN,), 45)
+    gn_rec_w = np.abs(_rand((COUT,), 46)) + 0.5
+    gn_rec_b = _rand((COUT,), 47)
+
+    ref = RefLIFRec(CIN, COUT, K, norm="group")
+    with torch.no_grad():
+        ref.ff.weight.copy_(torch.from_numpy(w_ff))
+        ref.rec.weight.copy_(torch.from_numpy(w_rec))
+        ref.leak.copy_(torch.from_numpy(leak.reshape(COUT, 1, 1)))
+        ref.norm_ff.weight.copy_(torch.from_numpy(gn_ff_w))
+        ref.norm_ff.bias.copy_(torch.from_numpy(gn_ff_b))
+        ref.norm_rec.weight.copy_(torch.from_numpy(gn_rec_w))
+        ref.norm_rec.bias.copy_(torch.from_numpy(gn_rec_b))
+
+    cell = ConvLIFRecurrent(COUT, K, norm="group")
+    params = {"params": {
+        "ff": {"kernel": _hwio(w_ff)},
+        "rec": {"kernel": _hwio(w_rec)},
+        "leak": jnp.asarray(leak),
+        "thresh": ref.thresh.detach().numpy().reshape(-1),
+        "norm_ff": {"scale": jnp.asarray(gn_ff_w),
+                    "bias": jnp.asarray(gn_ff_b)},
+        "norm_rec": {"scale": jnp.asarray(gn_rec_w),
+                     "bias": jnp.asarray(gn_rec_b)},
+    }}
+
+    x = _rand((B, CIN, H, W), 48, 1.0)
+    state_t = None
+    state_j = cell.zero_state(B, H, W)
+    for step in range(3):
+        with torch.no_grad():
+            z_t, state_t = ref(torch.from_numpy(x), state_t)
+        z_j, state_j = cell.apply(params, _nhwc(x), state_j)
+        np.testing.assert_allclose(
+            _from_nhwc(z_j), z_t.numpy(), atol=1e-5,
+            err_msg=f"spikes diverge at step {step}",
+        )

@@ -191,3 +191,45 @@ def test_time_mode_training_feed(dataset):
     state, loss = step(state, ev, va, jnp.zeros((1, 3)), jnp.asarray(False))
     assert np.isfinite(float(loss))
     stream.close()
+
+
+def test_chunked_ts_index_matches_eager(dataset, monkeypatch):
+    """Large files keep only a sampled ts index in RAM; bisection answers
+    must match the eager searchsorted exactly (VERDICT weak #2)."""
+    files = find_h5_files(dataset)
+    eager = H5SequenceFile(files[0], "events")
+    assert eager.ts_all is not None
+    monkeypatch.setattr(H5SequenceFile, "TS_EAGER_MAX", 0)
+    monkeypatch.setattr(H5SequenceFile, "TS_SAMPLE_TARGET", 64)
+    chunked = H5SequenceFile(files[0], "events")
+    assert chunked.ts_all is None
+    assert len(chunked._ts_samples) <= 65
+    assert chunked.last_ts == pytest.approx(eager.last_ts)
+    lo = float(eager.ts_all[0])
+    hi = float(eager.ts_all[-1])
+    queries = np.concatenate([
+        np.linspace(lo - 0.1, hi + 0.1, 101),
+        eager.ts_all[::37],  # exact hits
+    ])
+    for q in queries:
+        assert chunked.find_ts_index(q) == eager.find_ts_index(q), q
+    xs_e, ys_e, ts_e, ps_e = eager.get_events(123, 456)
+    xs_c, ys_c, ts_c, ps_c = chunked.get_events(123, 456)
+    np.testing.assert_array_equal(ts_c, ts_e)
+    eager.close()
+    chunked.close()
+
+
+def test_chunked_stream_time_mode_identical(dataset, monkeypatch):
+    """Time-mode streaming produces identical batches in chunked mode."""
+    stream = EventStream(_config(dataset, mode="time", window=0.1))
+    batches = [stream.next_batch() for _ in range(4)]
+    stream.close()
+    monkeypatch.setattr(H5SequenceFile, "TS_EAGER_MAX", 0)
+    monkeypatch.setattr(H5SequenceFile, "TS_SAMPLE_TARGET", 16)
+    stream2 = EventStream(_config(dataset, mode="time", window=0.1))
+    for b in batches:
+        b2 = stream2.next_batch()
+        np.testing.assert_array_equal(b2["events"], b["events"])
+        np.testing.assert_array_equal(b2["valid"], b["valid"])
+    stream2.close()
