@@ -35,7 +35,14 @@ def test(args):
 
     # merge the stored training run's params under the eval config
     run_dir = os.path.join(args.runs_root, args.runid)
-    stored = Tracker(runid=args.runid, runs_root=args.runs_root).load_params()
+    try:
+        stored = Tracker(
+            runid=args.runid, runs_root=args.runs_root
+        ).load_params()
+    except FileNotFoundError:
+        # no local training run (e.g. --torch_weights against released
+        # reference weights): the eval config must carry the model block
+        stored = {}
     for key in ("model",):
         merged = dict(stored.get(key, {}))
         merged.update(config.get(key, {}))
@@ -76,13 +83,23 @@ def test(args):
     voxel = jnp.zeros((b, *res, config["model"]["num_bins"]))
     cnt = jnp.zeros((b, *res, 2))
     params = model.init(jax.random.PRNGKey(0), voxel, cnt, state)
-    path = ckpt.latest_checkpoint(run_dir)
-    if path is not None:
-        restored = ckpt.restore_checkpoint(path)
-        params = restored["params"]
-        print(f"restored params from {path}")
+    if getattr(args, "torch_weights", None):
+        # released reference weights (MLflow torch artifact or state_dict)
+        from tools.import_torch import import_torch_checkpoint
+
+        params = import_torch_checkpoint(
+            args.torch_weights, config["model"]["name"], config["model"],
+            res=res,
+        )
+        print(f"imported torch weights from {args.torch_weights}")
     else:
-        print("WARNING: no checkpoint found; evaluating random init")
+        path = ckpt.latest_checkpoint(run_dir)
+        if path is not None:
+            restored = ckpt.restore_checkpoint(path)
+            params = restored["params"]
+            print(f"restored params from {path}")
+        else:
+            print("WARNING: no checkpoint found; evaluating random init")
 
     vis = None
     if config.get("vis", {}).get("enabled") or config.get("vis", {}).get("store"):
@@ -156,5 +173,10 @@ if __name__ == "__main__":
     ap.add_argument("--runs_root", default="runs")
     ap.add_argument("--path_results", default="results_inference/")
     ap.add_argument("--debug", action="store_true", help="don't save stuff")
+    ap.add_argument(
+        "--torch_weights", default=None,
+        help="reference torch checkpoint (model.pth / state_dict / MLflow "
+             "run dir) to evaluate instead of this run's checkpoints",
+    )
     args = ap.parse_args()
     test(args)
