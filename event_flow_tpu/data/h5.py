@@ -158,6 +158,14 @@ class EventStream:
             raise FileNotFoundError(
                 f"no .h5 files under {config['data']['path']!r}"
             )
+        shard = config["loader"].get("process_shard")
+        if shard:
+            # multi-process data parallelism: each process streams a
+            # disjoint round-robin file subset (parallel/distributed.py)
+            pid, pcount = int(shard[0]), int(shard[1])
+            from ..parallel.distributed import process_file_shard
+
+            self.files = process_file_shard(self.files, pid, pcount)
         mechanisms = config["loader"].get("augment", [])
         probs = config["loader"].get("augment_prob", [])
         self._mechanisms = mechanisms

@@ -62,37 +62,45 @@ def _split_uv(fmap):
     return fmap[..., 0], fmap[..., 1]
 
 
-def _per_event_flows(u, v, lin, overwrite):
+def _per_event_flows(u, v, lin, overwrite, t_live=None):
     """Gather per-event flow from each pass's map.
 
     u, v: [B, T, H, W]; lin: [B, T, N] linear pixel indices.
     Returns (fy, fx) [B, T, N] — the warp uses (y, x) = (v, u)
     (reference swaps components at the gather, iwe.py:115-119).
-    With overwrite, every pass gathers from the final pass's map
-    (flow.py:398-418)."""
+    With overwrite, every pass gathers from the LAST LIVE pass's map
+    (flow.py:398-418; pass t_live-1 when trailing windows are padding)."""
     b, t, h, w = u.shape
     uf = u.reshape(b, t, h * w)
     vf = v.reshape(b, t, h * w)
     if overwrite:
-        uf = jnp.broadcast_to(uf[:, -1:], uf.shape)
-        vf = jnp.broadcast_to(vf[:, -1:], vf.shape)
+        if t_live is None:
+            last_u, last_v = uf[:, -1:], vf[:, -1:]
+        else:
+            idx = jnp.full((b, 1, h * w), t_live - 1)
+            last_u = jnp.take_along_axis(uf, idx, axis=1)
+            last_v = jnp.take_along_axis(vf, idx, axis=1)
+        uf = jnp.broadcast_to(last_u, uf.shape)
+        vf = jnp.broadcast_to(last_v, vf.shape)
     fx = jnp.take_along_axis(uf, lin, axis=2)
     fy = jnp.take_along_axis(vf, lin, axis=2)
     return fy, fx
 
 
-def _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, tref, max_ts,
+def _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, backward, max_ts,
                    cfg: LossConfig):
     """One warp direction's loss term (flow.py:196-259), channels-first:
     one compact scatter produces the pos/neg count and pos/neg
-    (tref-relative) timestamp images. All operands are [B, M] planes."""
+    (tref-relative) timestamp images. All operands are [B, M] planes.
+    ``backward`` (static bool) selects tref=0, else tref=max_ts."""
     res = cfg.resolution
+    tref = 0.0 if backward else max_ts
     idx, w4 = get_interpolation_compact_cf(
         ts, ys, xs, fy, fx, tref, res, cfg.flow_scaling
     )  # [B, M], [B, 4, M]
     # forward warp accumulates ts, backward accumulates (max_ts - ts)
     # (flow.py:206-211 vs :239-244)
-    ts_w = ts if tref != 0 else (max_ts - ts)
+    ts_w = (max_ts - ts) if backward else ts
     payload = jnp.stack([pos, neg, ts_w * pos, ts_w * neg], axis=1)  # [B,4,M]
     stack = (w4[:, :, None, :] * payload[:, None, :, :]).reshape(
         payload.shape[0], 16, payload.shape[-1]
@@ -110,10 +118,17 @@ def _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, tref, max_ts,
     return jnp.sum(per_batch)
 
 
-def _smoothness(u, v, mask, cfg: LossConfig):
+def _smoothness(u, v, mask, cfg: LossConfig, t_live=None, live_t=None):
     """Charbonnier smoothness over 4 spatial directions + pass axis
-    (flow.py:262-294). u, v, mask: [B, T, H, W]."""
+    (flow.py:262-294). u, v, mask: [B, T, H, W]. With padded passes
+    (``t_live``), pad maps are masked out and the pass normalization uses
+    the live count."""
     m = mask
+    apply_mask = cfg.smoothing_mask
+    if live_t is not None:
+        lm = live_t.astype(u.dtype)[None, :, None, None]
+        m = (m if cfg.smoothing_mask else jnp.ones_like(u)) * lm
+        apply_mask = True
 
     def charb(d):
         return jnp.sqrt(d**2 + 1e-6)
@@ -130,7 +145,7 @@ def _smoothness(u, v, mask, cfg: LossConfig):
     if use_dt:
         flow_dt = charb((u[:, :-1] - u[:, 1:]) + (v[:, :-1] - v[:, 1:]))
 
-    if cfg.smoothing_mask:  # (flow.py:184-190, :280-286)
+    if apply_mask:  # (flow.py:184-190, :280-286)
         flow_dx = flow_dx * (m[..., :, :-1] * m[..., :, 1:])
         flow_dy = flow_dy * (m[..., :-1, :] * m[..., 1:, :])
         flow_dr = flow_dr * (m[..., :-1, :-1] * m[..., 1:, 1:])
@@ -144,12 +159,13 @@ def _smoothness(u, v, mask, cfg: LossConfig):
         total = total + flow_dt.sum()
         components += 1
     total = total / components
-    total = total / u.shape[1]  # passes (flow.py:294)
+    # passes normalization (flow.py:294) — live passes when padded
+    total = total / (u.shape[1] if t_live is None else t_live)
     return total
 
 
 def event_warping_loss(flow_maps: Sequence, event_list, pol_mask,
-                       event_mask, cfg: LossConfig):
+                       event_mask, cfg: LossConfig, t_live=None):
     """Full loss over all flow scales (flow.py:176-301).
 
     Args (shapes in module docstring). ``flow_maps`` is a list over scales;
@@ -158,11 +174,22 @@ def event_warping_loss(flow_maps: Sequence, event_list, pol_mask,
     padded events must have zero ``pol_mask`` and coordinates that fail the
     feasibility mask.
 
+    ``t_live`` (optional traced scalar): number of REAL passes when the
+    window axis is zero-padded to a static T (variable-length loss windows,
+    time/gtflow training modes). The reference's ``max_ts`` is the number
+    of forwards actually accumulated (flow.py:90, :196) — with padding that
+    is t_live, and pad flow maps drop out of the smoothness term.
+
     Returns scalar loss (summed over batch, like the reference).
     """
     b, t, n, _ = event_list.shape
     h, w = cfg.resolution
-    max_ts = float(t)
+    if t_live is None:
+        max_ts = float(t)
+        live_t = None
+    else:
+        max_ts = t_live.astype(event_list.dtype)
+        live_t = jnp.arange(t) < t_live
 
     # scalar event planes [B, T*N] (ts offset per pass, flow.py:90)
     ts = (
@@ -189,16 +216,25 @@ def event_warping_loss(flow_maps: Sequence, event_list, pol_mask,
     total = 0.0
     for fmap in flow_maps:
         u, v = _split_uv(fmap)
-        fy, fx = _per_event_flows(u, v, lin, cfg.overwrite_intermediate)
+        fy, fx = _per_event_flows(u, v, lin, cfg.overwrite_intermediate,
+                                  t_live=t_live)
         fy = fy.reshape(b, t * n)
         fx = fx.reshape(b, t * n)
-        fw = _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, max_ts, max_ts, cfg)
-        bw = _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, 0.0, max_ts, cfg)
+        fw = _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, False, max_ts, cfg)
+        bw = _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, True, max_ts, cfg)
         if cfg.overwrite_intermediate:
-            u_sm, v_sm = u[:, -1:], v[:, -1:]
+            if t_live is None:
+                u_sm, v_sm = u[:, -1:], v[:, -1:]
+            else:
+                idx = jnp.full((b, 1, 1, 1), t_live - 1)
+                u_sm = jnp.take_along_axis(u, jnp.broadcast_to(
+                    idx, (b, 1, *u.shape[2:])), axis=1)
+                v_sm = jnp.take_along_axis(v, jnp.broadcast_to(
+                    idx, (b, 1, *v.shape[2:])), axis=1)
+            sm = _smoothness(u_sm, v_sm, mask_sm, cfg)
         else:
-            u_sm, v_sm = u, v
-        sm = _smoothness(u_sm, v_sm, mask_sm, cfg)
+            sm = _smoothness(u, v, mask_sm, cfg, t_live=t_live,
+                             live_t=live_t)
         total = total + fw + bw + cfg.flow_regul_weight * sm
 
     return total / len(flow_maps)

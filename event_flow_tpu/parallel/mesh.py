@@ -11,6 +11,7 @@ scaling-book recipe: pick a mesh, annotate shardings, let XLA do the rest).
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -92,12 +93,22 @@ def shard_train_step(train_step, mesh, state_template, axis_name="data"):
     )
     from ..train.loop import _donate_argnums
 
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
-        in_shardings=(state_shardings, events_s, valid_s, batch_s, repl),
+        in_shardings=(state_shardings, events_s, valid_s, batch_s, repl,
+                      repl),
         out_shardings=(state_shardings, repl),
         donate_argnums=_donate_argnums(),
     )
+
+    def stepper(state, events, valid, aug, reset, t_live=None):
+        # fixed 6-arg jit signature; all-live when the caller doesn't gate
+        # on accumulated events (events-mode training)
+        if t_live is None:
+            t_live = jnp.asarray(events.shape[1])
+        return jitted(state, events, valid, aug, reset, t_live)
+
+    return stepper
 
 
 def shard_state(state, mesh, axis_name="data"):

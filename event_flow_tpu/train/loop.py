@@ -48,7 +48,18 @@ class Trainer:
         self.batch_size = config["loader"]["batch_size"]
         window = config["data"]["window"]
         window_loss = config["data"].get("window_loss", window)
-        self.t_windows = max(1, int(round(window_loss / window)))
+        self.mode = config["data"].get("mode", "events")
+        if self.mode == "events":
+            # fixed-count windows: the reference's num_events gate fires
+            # after exactly window_loss/window forwards (train_flow.py:141)
+            self.t_windows = max(1, int(round(window_loss / window)))
+            self.window_loss = None
+        else:
+            # time/gtflow modes: windows carry variable event counts; gate
+            # the update on ACCUMULATED events like the reference, padded
+            # to a static t_max so the jitted scan keeps one shape
+            self.window_loss = window_loss
+            self.t_windows = int(config["data"].get("t_max_windows", 16))
         self.tracker = tracker
 
         self.model = get_model(config["model"]["name"], config["model"])
@@ -149,7 +160,15 @@ class Trainer:
 
     def feed(self, batch):
         """Feed one stream batch; returns the loss when an update fired,
-        else None."""
+        else None.
+
+        Update cadence matches the reference's accumulated-event gate
+        (train_flow.py:141): in ``events`` mode that is exactly
+        window_loss/window windows; in time/gtflow modes windows accumulate
+        until the event count reaches ``window_loss`` (measured as the max
+        over batch slots — identical to the reference at its batch size 1),
+        capped at ``data.t_max_windows`` and zero-padded to that static
+        shape with the live-window count passed into the step."""
         if batch.get("new_seq"):
             # drop the partial loss window, reset recurrent state
             self._events, self._valid = [], []
@@ -157,13 +176,33 @@ class Trainer:
         self._events.append(batch["events"])
         self._valid.append(batch["valid"])
         self._aug = batch["aug_flags"]
-        if len(self._events) < self.t_windows:
-            return None
-        ev = jnp.asarray(np.stack(self._events, axis=1))  # [B,T,N,4]
-        va = jnp.asarray(np.stack(self._valid, axis=1))
+        t_live = len(self._events)
+        if self.window_loss is None:
+            if t_live < self.t_windows:
+                return None
+        else:
+            counts = np.asarray(self._valid).sum(axis=(0, 2))  # per slot
+            if counts.max() < self.window_loss and t_live < self.t_windows:
+                return None
+        ev = np.stack(self._events, axis=1)  # [B,T,N,4]
+        va = np.stack(self._valid, axis=1)
+        if t_live < self.t_windows:
+            pad = self.t_windows - t_live
+            ev = np.concatenate(
+                [ev, np.zeros((*ev.shape[:1], pad, *ev.shape[2:]),
+                              ev.dtype)], axis=1)
+            va = np.concatenate(
+                [va, np.zeros((va.shape[0], pad, va.shape[2]), va.dtype)],
+                axis=1)
+        ev = jnp.asarray(ev)
+        va = jnp.asarray(va)
         aug = jnp.asarray(self._aug)
         reset = jnp.asarray(self._pending_reset)
-        out = self.step(self.state, ev, va, aug, reset)
+        if self.window_loss is None:
+            out = self.step(self.state, ev, va, aug, reset)
+        else:
+            out = self.step(self.state, ev, va, aug, reset,
+                            jnp.asarray(t_live))
         if self.store_grads:
             self.state, loss, (stats, gnorm) = out
         else:

@@ -28,7 +28,8 @@ from ..data.augment import augment_events
 from ..loss.warping import LossConfig, event_warping_loss
 from ..ops.encodings import encode_windows_cf
 
-__all__ = ["TrainState", "make_train_step", "make_sequence_forward"]
+__all__ = ["TrainState", "make_train_step", "make_train_step_multi",
+           "make_sequence_forward"]
 
 
 class TrainState(NamedTuple):
@@ -37,38 +38,84 @@ class TrainState(NamedTuple):
     model_state: Any
 
 
+def _pack_state(tree):
+    """Merge each state leaf's trailing (W, C) dims.
+
+    TPU arrays tile their last two dims to (8, 128) lanes: an NHWC state
+    leaf with C=32 lane-pads 4x in HBM, and the scan carry + its remat
+    saves are materialized in that padded layout (measured: 14 saved
+    carries x [10,8,128,128,32] = 9 GB instead of 2.2 GB at the training
+    recipe, the main HBM-pressure/bandwidth cost of the backward). A
+    [..., W*C] leaf has a large minor dim and is stored unpadded; the
+    unpacked view inside the scan body fuses into its consumers."""
+    return jax.tree_util.tree_map(
+        lambda s: s.reshape(*s.shape[:-2], s.shape[-2] * s.shape[-1])
+        if s.ndim >= 2 else s,
+        tree,
+    )
+
+
+def _unpack_state(tree, template):
+    return jax.tree_util.tree_map(
+        lambda s, t: s.reshape(t.shape), tree, template
+    )
+
+
 def make_sequence_forward(model, res, num_bins, round_encoding=False,
                           remat=True, augment=True):
-    """Build f(params, model_state, events, valid, aug_flags) ->
+    """Build f(params, model_state, events, valid, aug_flags[, t_live]) ->
     (new_state, flows_per_scale [B,T,H,W,2], event_list, pol_mask, event_mask).
 
     events: [B, T, N, 4] raw windows (ts any scale, y, x, p in {-1,+1});
     valid: [B, T, N] mask; aug_flags: [B, 3].
+
+    ``t_live`` (optional scalar) marks windows [t_live:] as PADDING: the
+    recurrent state freezes through them and their (all-invalid) events
+    contribute nothing to encodings/loss. This is how variable-length loss
+    windows (time/gtflow training modes, where the reference gates updates
+    on accumulated event count, train_flow.py:141) map onto a static-shape
+    scan: the host pads to T_max and passes the live count. Genuinely
+    empty-but-real windows (the <10-events zeroing, reference h5.py:235-239)
+    are NOT frozen — the reference still runs the model on those.
     """
 
+    state_template = [None]
+
     def body(state, xt):
-        params, (voxel_cf, cnt_cf) = xt[0], xt[1]
+        params, (voxel_cf, cnt_cf, live) = xt[0], xt[1]
         # per-window NHWC transpose for the conv stack (one window's
         # working set; the T-stacked buffers stay channels-first)
         voxel = jnp.moveaxis(voxel_cf, 1, -1)
         cnt = jnp.moveaxis(cnt_cf, 1, -1)
-        out, state = model.apply(params, voxel, cnt, state)
+        out, new_state = model.apply(
+            params, voxel, cnt, _unpack_state(state, state_template[0])
+        )
+        new_state = _pack_state(new_state)
+        if live is not None:
+            new_state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(live, n, o), new_state, state
+            )
         # flow maps return as (u, v) scalar planes: a stacked [T,B,H,W,2]
         # buffer would lane-pad 64x on TPU
         flows = tuple((f[..., 0], f[..., 1]) for f in out["flow"])
-        return state, flows
+        return new_state, flows
 
     if remat:
         body = jax.checkpoint(body)
 
-    def sequence_forward(params, model_state, events, valid, aug_flags):
+    def sequence_forward(params, model_state, events, valid, aug_flags,
+                         t_live=None):
         # All T windows' encodings in ONE channels-first scatter, outside
         # the scan (30 serialized per-window TPU scatters otherwise).
+        b, t, n, _ = events.shape
         if augment:
-            b, t, n, _ = events.shape
             events = augment_events(
                 events.reshape(b, t * n, 4), aug_flags, res
             ).reshape(b, t, n, 4)
+        if t_live is not None:
+            live_t = (jnp.arange(t) < t_live)
+            valid = (jnp.ones((b, t, n)) if valid is None else valid) \
+                * live_t[None, :, None]
         enc = encode_windows_cf(events, res, num_bins, valid=valid,
                                 round_ts=round_encoding)
         vox_t = jnp.moveaxis(enc["event_voxel"], 1, 0)  # [T,B,C,H,W]
@@ -77,7 +124,12 @@ def make_sequence_forward(model, res, num_bins, round_encoding=False,
         def scan_body(state, xs):
             return body(state, (params, xs))
 
-        state, flows = jax.lax.scan(scan_body, model_state, (vox_t, cnt_t))
+        state_template[0] = model_state
+        xs = (vox_t, cnt_t, live_t if t_live is not None else None)
+        state, flows = jax.lax.scan(
+            scan_body, _pack_state(model_state), xs
+        )
+        state = _unpack_state(state, model_state)
         # [T, B, H, W] -> [B, T, H, W] per plane; keep (u, v) tuple form
         flows = tuple(
             (jnp.moveaxis(u, 0, 1), jnp.moveaxis(v, 0, 1)) for u, v in flows
@@ -104,14 +156,16 @@ def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
         augment=augment,
     )
 
-    def loss_fn(params, model_state, events, valid, aug_flags):
+    def loss_fn(params, model_state, events, valid, aug_flags, t_live):
         new_state, flows, ev_list, pol, mask = seq_fwd(
-            params, model_state, events, valid, aug_flags
+            params, model_state, events, valid, aug_flags, t_live=t_live
         )
-        loss = event_warping_loss(list(flows), ev_list, pol, mask, loss_cfg)
+        loss = event_warping_loss(list(flows), ev_list, pol, mask, loss_cfg,
+                                  t_live=t_live)
         return loss, new_state
 
-    def train_step(state: TrainState, events, valid, aug_flags, reset):
+    def train_step(state: TrainState, events, valid, aug_flags, reset,
+                   t_live=None):
         # masked state reset at sequence changes (train_flow.py:100-105)
         model_state = jax.tree_util.tree_map(
             lambda s: jnp.where(reset, jnp.zeros_like(s), s),
@@ -119,7 +173,7 @@ def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
         )
         (loss, new_model_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, model_state, events, valid, aug_flags)
+        )(state.params, model_state, events, valid, aug_flags, t_live)
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -139,6 +193,34 @@ def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
         return new_state, loss
 
     return train_step
+
+
+def make_train_step_multi(model, optimizer, res, num_bins,
+                          loss_cfg: LossConfig, **kwargs):
+    """S chained optimizer updates in ONE dispatch.
+
+    step(state, events [S,B,T,N,4], valid [S,B,T,N], aug [S,B,3],
+         reset [S]) -> (state, losses [S])
+
+    The host<->device dispatch round trip costs ~35 ms on a tunneled TPU
+    (measured); per-update host reads cap throughput regardless of device
+    speed. Scanning S updates inside one executable amortizes it to ~35/S
+    ms — the host feeds S loss-windows of data and reads S losses back
+    once.
+    """
+    assert "with_grad_stats" not in kwargs or not kwargs["with_grad_stats"]
+    step = make_train_step(model, optimizer, res, num_bins, loss_cfg,
+                           **kwargs)
+
+    def multi_step(state: TrainState, events, valid, aug_flags, resets):
+        def body(st, xs):
+            ev, va, aug, rs = xs
+            st, loss = step(st, ev, va, aug, rs)
+            return st, loss
+
+        return jax.lax.scan(body, state, (events, valid, aug_flags, resets))
+
+    return multi_step
 
 
 def init_train_state(model, optimizer, key, batch, res, num_bins):

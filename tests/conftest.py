@@ -20,3 +20,20 @@ import jax  # noqa: E402
 # overrides the env var — override it back after import
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import sys  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_reference_shared_kwargs():
+    """The reference FireNet family mutates a CLASS-level shared kwargs
+    list (reference: model.py:159, :171-173); reset it between tests so
+    models built by one test don't leak neuron kwargs into another."""
+    mod = sys.modules.get("models.model")
+    if mod is not None:
+        for obj in list(vars(mod).values()):
+            if isinstance(obj, type) and "kwargs" in vars(obj):
+                obj.kwargs = [{} for _ in obj.kwargs]
+    yield

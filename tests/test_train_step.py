@@ -143,3 +143,96 @@ def test_data_parallel_sharded_step():
     ref_state = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
     _, ref_loss = jax.jit(step)(ref_state, ev, valid, aug, jnp.asarray(False))
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-4)
+
+
+def test_padded_window_step_matches_short_step():
+    """A step padded to T_max with t_live real windows computes the same
+    loss as the natural short-T step (variable loss windows for time/gtflow
+    training modes; reference gate train_flow.py:141)."""
+    model = get_model("LIFFireNet", MODEL_CFG)
+    tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
+    loss_cfg = LossConfig(RES, float(max(RES)), 0.001, smoothing_mask=True)
+    step = jax.jit(make_train_step(model, tx, RES, 2, loss_cfg))
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
+
+    ev, valid, aug = _batch(seed=3)
+    t_live = 2
+    # natural short step on the first t_live windows
+    _, loss_short = step(state, ev[:, :t_live], valid[:, :t_live], aug,
+                         jnp.asarray(False))
+    # padded step: T windows, trailing T - t_live marked padding
+    ev_pad = jnp.concatenate(
+        [ev[:, :t_live], jnp.zeros_like(ev[:, t_live:])], axis=1)
+    va_pad = jnp.concatenate(
+        [valid[:, :t_live], jnp.zeros_like(valid[:, t_live:])], axis=1)
+    state_pad, loss_pad = step(state, ev_pad, va_pad, aug,
+                               jnp.asarray(False), jnp.asarray(t_live))
+    np.testing.assert_allclose(float(loss_pad), float(loss_short), rtol=1e-5)
+
+    # the carried recurrent state froze through the padding windows
+    state_short, _ = step(state, ev[:, :t_live], valid[:, :t_live], aug,
+                          jnp.asarray(False))
+    for a, b in zip(jax.tree_util.tree_leaves(state_pad.model_state),
+                    jax.tree_util.tree_leaves(state_short.model_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_time_mode_event_count_gated_cadence(tmp_path):
+    """Trainer update cadence in time mode matches a host simulation of the
+    reference's accumulated-event gate (reference: train_flow.py:141 with
+    num_events = accumulated event-list length, loss/flow.py:161-166)."""
+    from event_flow_tpu.config.parser import default_config, merge_dicts
+    from event_flow_tpu.data.h5 import EventStream
+    from event_flow_tpu.data.schema import write_synthetic_sequence
+    from event_flow_tpu.train.loop import Trainer
+
+    for i in range(2):
+        write_synthetic_sequence(
+            str(tmp_path / f"seq{i}.h5"), res=RES, n_events=4000,
+            duration=1.0, velocity=(2.0, 4.0), seed=i, t0=1.0 + 5 * i,
+        )
+    cfg = default_config()
+    merge_dicts(
+        {
+            "data": {"path": str(tmp_path), "mode": "time", "window": 0.07,
+                     "window_loss": 900, "t_max_windows": 6,
+                     "max_events": 1024},
+            "model": {"name": "FireNet", "encoding": "cnt", "num_bins": 2,
+                      "base_num_channels": 4, "kernel_size": 3,
+                      "activations": ["relu", None], "mask_output": True,
+                      "spiking_neuron": None},
+            "loss": {"flow_regul_weight": 0.001, "clip_grad": 100.0},
+            "optimizer": {"name": "Adam", "lr": 1e-3},
+            "loader": {"resolution": list(RES), "batch_size": 1,
+                       "augment": [], "seed": 0},
+        },
+        cfg,
+    )
+    trainer = Trainer(cfg)
+    stream = EventStream(cfg)
+
+    fired = []
+    sim_count = 0
+    sim_windows = 0
+    sim_fired = []
+    for i in range(30):
+        batch = stream.next_batch()
+        # reference-semantics host simulation: reset drops the partial
+        # window; update when accumulated true event count >= window_loss
+        if batch["new_seq"]:
+            sim_count = 0
+            sim_windows = 0
+        sim_count += int(np.asarray(batch["valid"]).sum())
+        sim_windows += 1
+        if sim_count >= 900 or sim_windows >= 6:
+            sim_fired.append(i)
+            sim_count = 0
+            sim_windows = 0
+
+        loss = trainer.feed(batch)
+        if loss is not None:
+            fired.append(i)
+            assert np.isfinite(loss)
+    stream.close()
+    assert fired, "no updates fired in 30 batches"
+    assert fired == sim_fired, (fired, sim_fired)
