@@ -3,8 +3,17 @@
 Workload = the reference's training recipe (configs/train_SNN.yml):
 LIFFireNet (32 base channels), batch 8, 128x128, window = 1000 events,
 loss window = 10 windows -> one optimizer update per 80 event-windows.
-One jitted step covers on-device encodings, 10-window lax.scan BPTT,
-contrast-max loss, gradients, clip, Adam.
+One jitted dispatch covers S chained updates, each with on-device
+encodings, 10-window lax.scan BPTT, contrast-max loss, gradients, clip,
+Adam (train/step.py::make_train_step_multi).
+
+Performance notes (measured, TPU v5e behind the axon tunnel):
+  - the host<->device dispatch round trip is ~35 ms and
+    ``block_until_ready`` under-reports (async enqueue); the bench chains
+    S updates per dispatch and syncs with a host read of the losses
+  - XLA's BPTT backward anti-scales with batch (2.55 ms/window at b8 vs
+    1.60 at b4); ``micro_batch=4`` gradient accumulation restores the b4
+    per-window rate with identical update semantics (loss sums over batch)
 
 Metric: event-windows/sec (higher is better).
 
@@ -21,10 +30,6 @@ import json
 import os
 import time
 
-# Default to the lax.conv graph for the benchmark: the im2col formulation
-# is ~18% faster at runtime but its much larger compile destabilizes the
-# axon tunnel's remote worker. Override with EVFLOW_CONV_IMPL=auto on a
-# healthy toolchain.
 os.environ.setdefault("EVFLOW_CONV_IMPL", "xla")
 
 import jax
@@ -35,13 +40,16 @@ import numpy as np
 BASELINE_WINDOWS_PER_SEC = 0.2126
 
 RES = (128, 128)
-# Batch 4 is the default benchmark config: it is BOTH faster per window
-# than the reference recipe's batch 8 (389 vs 351 windows/s on v5e — the
-# loss scatter scales super-linearly with batch) AND stable on a
-# memory-degraded tunnel worker. Retries shrink further.
-_ATTEMPT = int(os.environ.get("EVFLOW_BENCH_ATTEMPT", "0"))
-B = {0: 4, 1: 4, 2: 2, 3: 2}.get(_ATTEMPT, 4)
 T, N = 10, 1000
+# resilience ladder: the tunnel worker can crash on large compiles; retries
+# re-exec with progressively lighter programs (B, micro_batch, S)
+_ATTEMPT = int(os.environ.get("EVFLOW_BENCH_ATTEMPT", "0"))
+B, MB, S = {
+    0: (8, 4, 4),
+    1: (8, 4, 2),
+    2: (4, None, 4),
+    3: (4, None, 1),
+}.get(_ATTEMPT, (4, None, 1))
 
 
 def main():
@@ -49,7 +57,8 @@ def main():
     from event_flow_tpu.loss.warping import LossConfig
     from event_flow_tpu.models.registry import get_model
     from event_flow_tpu.train.optim import make_optimizer
-    from event_flow_tpu.train.step import init_train_state, make_train_step
+    from event_flow_tpu.train.step import (init_train_state, make_train_step,
+                                           make_train_step_multi)
 
     model_cfg = {
         "name": "LIFFireNet",
@@ -70,50 +79,66 @@ def main():
     model = get_model("LIFFireNet", model_cfg)
     tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
     loss_cfg = LossConfig(RES, float(max(RES)), 0.001, smoothing_mask=True)
-    step = jax.jit(make_train_step(model, tx, RES, 2, loss_cfg))
     state = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
 
     rng = np.random.default_rng(0)
-    ev = np.stack(
-        [
-            np.stack(
-                [
-                    constant_flow_window(rng, N, RES, (2.0, -2.0), 64)
-                    for _ in range(T)
-                ]
-            )
+
+    def one_update():
+        return np.stack([
+            np.stack([constant_flow_window(rng, N, RES, (2.0, -2.0), 64)
+                      for _ in range(T)])
             for _ in range(B)
-        ]
-    )
-    ev = jnp.asarray(ev)
-    valid = jnp.ones((B, T, N))
-    aug = jnp.zeros((B, 3))
-    reset = jnp.asarray(False)
+        ])
 
-    # warmup/compile (sync via host read; block_until_ready on the full
-    # state pytree can stall under the axon tunnel plugin)
-    state, loss = step(state, ev, valid, aug, reset)
-    float(loss)
+    if S > 1:
+        step = jax.jit(make_train_step_multi(
+            model, tx, RES, 2, loss_cfg, micro_batch=MB))
+        ev = jnp.asarray(np.stack([one_update() for _ in range(S)]))
+        valid = jnp.ones((S, B, T, N))
+        aug = jnp.zeros((S, B, 3))
+        resets = jnp.zeros((S,), bool)
 
-    # force a host read of the loss every step: an unambiguous device
-    # sync (block_until_ready alone under-reports on the axon plugin)
-    iters = 20
+        def run(st):
+            st, losses = step(st, ev, valid, aug, resets)
+            float(losses[-1])
+            return st
+    else:
+        step = jax.jit(make_train_step(
+            model, tx, RES, 2, loss_cfg, micro_batch=MB))
+        ev = jnp.asarray(one_update())
+        valid = jnp.ones((B, T, N))
+        aug = jnp.zeros((B, 3))
+        reset = jnp.asarray(False)
+
+        def run(st):
+            st, loss = step(st, ev, valid, aug, reset)
+            float(loss)
+            return st
+
+    # warmup/compile; host read per dispatch is the only reliable sync on
+    # the axon tunnel (block_until_ready under-reports)
+    state = run(state)
+
+    iters = max(1, 16 // S)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        state, loss = step(state, ev, valid, aug, reset)
-        float(loss)
+        state = run(state)
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    dt = float(np.median(times)) / S  # per update
 
     windows_per_sec = B * T / dt
+    cfg_tag = f"b{B}" + (f" mb{MB}" if MB else "") + f" S{S}"
     print(
         json.dumps(
             {
                 "metric": "train_event_windows_per_sec",
                 "value": round(windows_per_sec, 2),
-                "unit": f"event-windows/s (LIFFireNet b{B} 128x128 w1000, full update)",
-                "vs_baseline": round(windows_per_sec / BASELINE_WINDOWS_PER_SEC, 1),
+                "unit": f"event-windows/s (LIFFireNet {cfg_tag} 128x128 "
+                        "w1000, full update)",
+                "vs_baseline": round(
+                    windows_per_sec / BASELINE_WINDOWS_PER_SEC, 1
+                ),
             }
         )
     )
@@ -122,8 +147,8 @@ def main():
 if __name__ == "__main__":
     # The axon TPU tunnel's remote worker intermittently crashes under
     # heavy programs and recovers after a cooldown. A poisoned jax backend
-    # can't retry in-process, so re-exec a fresh interpreter a few times.
-    import os
+    # can't retry in-process, so re-exec a fresh interpreter a few times,
+    # degrading the program size each attempt.
     import sys
     import time as _time
 
@@ -138,9 +163,5 @@ if __name__ == "__main__":
                   flush=True)
             _time.sleep(240)
             os.environ["EVFLOW_BENCH_ATTEMPT"] = str(attempt + 1)
-            if attempt >= 1:
-                # degrade to the lighter lax.conv program (smaller compile)
-                # if the heavy im2col graph keeps killing the worker
-                os.environ["EVFLOW_CONV_IMPL"] = "xla"
             os.execv(sys.executable, [sys.executable] + sys.argv)
         raise

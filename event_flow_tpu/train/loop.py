@@ -84,6 +84,7 @@ class Trainer:
             self.model, self.tx, self.res, self.num_bins, loss_cfg,
             round_encoding=config["model"].get("round_encoding", False),
             with_grad_stats=store_grads,
+            micro_batch=config["loader"].get("micro_batch"),
         )
         self.state = init_train_state(
             self.model, self.tx, jax.random.PRNGKey(

@@ -236,3 +236,26 @@ def test_time_mode_event_count_gated_cadence(tmp_path):
     stream.close()
     assert fired, "no updates fired in 30 batches"
     assert fired == sim_fired, (fired, sim_fired)
+
+
+def test_micro_batch_grad_accumulation_identical():
+    """micro_batch=B/2 must produce the same loss and updated params as the
+    full-batch step (the loss sums over batch, so gradients add)."""
+    ev, valid, aug = _batch(seed=5)
+    model = get_model("LIFFireNet", MODEL_CFG)
+    tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
+    loss_cfg = LossConfig(RES, float(max(RES)), 0.001, smoothing_mask=True)
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
+
+    step_full = jax.jit(make_train_step(model, tx, RES, 2, loss_cfg))
+    step_mb = jax.jit(make_train_step(model, tx, RES, 2, loss_cfg,
+                                      micro_batch=1))
+    s1, l1 = step_full(state, ev, valid, aug, jnp.asarray(False))
+    s2, l2 = step_mb(state, ev, valid, aug, jnp.asarray(False))
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.model_state),
+                    jax.tree_util.tree_leaves(s2.model_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
