@@ -45,13 +45,12 @@ def _conv_operands(x, kernel):
 
 # Conv implementation policy: 'xla' | 'im2col' | 'pallas' | 'auto'.
 #  - 'auto' picks the im2col-matmul formulation on TPU for stride-1 odd-k
-#    convs (29% faster than lax.conv for the 32-channel shapes; measured on
-#    v5e) and lax.conv elsewhere.
-#  - 'pallas' selects the Pallas kernel (ops/conv_pallas.py). NOTE: the
-#    current axon tunnel cannot compile Mosaic kernels (remote compile
-#    helper broken + client/terminal libtpu mismatch); the kernel is
-#    correctness-tested in interpret mode and intended for environments
-#    with a working Mosaic toolchain.
+#    convs (isolated: 100 us vs 175 us for lax.conv at the 32-channel
+#    b8 128^2 shapes, measured v5e) and lax.conv elsewhere.
+#  - 'pallas' selects the Pallas kernel (ops/conv_pallas.py) — compiles
+#    and runs on hardware (needs the raised VMEM budget baked into the
+#    kernel); XLA's conv remains faster for these shapes, so 'auto' does
+#    not pick it.
 _CONV_IMPL = os.environ.get("EVFLOW_CONV_IMPL", "auto")
 
 

@@ -1,20 +1,29 @@
 """Pallas TPU convolution kernels (im2col matmul formulation).
 
-The models are small-channel (C<=512) 3x3 convnets; XLA's conv on TPU v5e
-reaches only a few percent of peak for these shapes because both channel
-operands pad to the 128-lane tile. This kernel reformulates the conv as
-im2col matmuls — [TH*W, K*K*C] @ [K*K*C, O] per row block — which keeps the
-M dimension huge (H*W) and eats the channel padding only once on the N
-side (BASELINE.json north star: fused Pallas conv kernels).
+The models are small-channel (C<=512) 3x3 convnets; the conv is expressed
+as im2col matmuls — [TH*W, K*K*C] @ [K*K*C, O] per row strip — which keeps
+the M dimension large and pays the 128-lane padding of the small channel
+count only on the N side (BASELINE.json north star: fused Pallas conv
+kernels).
 
-- forward: grid over batch; the padded image lives in VMEM; a fori_loop
-  walks row blocks, building patches from shifted slices and hitting the
-  MXU once per block.
+Hardware lessons baked in (measured on TPU v5e behind the axon tunnel):
+  - row strips are GRID dimensions, not an in-kernel fori_loop (the
+    dynamic-slice-write loop form crashes the remote Mosaic compile helper
+    at batch >= 7);
+  - ``CompilerParams(vmem_limit_bytes=100MB)`` is REQUIRED: the default
+    VMEM budget rejects these whole-image-resident blocks once a fused
+    producer feeds the kernel (opaque "HTTP 500" helper crashes);
+  - input is padded in H only (W stays lane-aligned); the column halo is
+    built in-kernel with static rolls + masks, so no operand ever carries
+    a padded lane dimension.
+
+- forward: grid (batch, row-strips); the H-padded image resides in VMEM
+  per batch; each program builds its strip's patches and hits the MXU once.
 - backward (custom_vjp): dx is the same kernel with the spatially-flipped,
   in/out-transposed kernel; dw is a [K*K*C, M] @ [M, O] matmul with grid
   accumulation over M chunks. All three matmuls ride the MXU.
 
-Supported: stride 1, odd kernel size, H divisible by the row tile.
+Supported: stride 1, odd kernel size <= 5, H divisible by the row tile.
 Strided convs (UNet encoders) fall back to XLA. Layout NHWC.
 """
 
@@ -29,20 +38,31 @@ __all__ = ["conv2d_pallas", "conv2d_pallas_available", "set_interpret"]
 
 _INTERPRET = False  # flipped by tests on CPU
 
+# the v5e has 128 MB of VMEM; the compile helper rejects kernels under its
+# much smaller default budget (see module docstring)
+_VMEM_LIMIT = 100 * 2**20
+
 
 def set_interpret(flag):
     global _INTERPRET
     _INTERPRET = bool(flag)
 
 
+def _compiler_params():
+    if _INTERPRET:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT)}
+
+
 def conv2d_pallas_available(x_shape, kernel_size, stride):
     b, h, w, c = x_shape
     if stride != 1 or kernel_size % 2 == 0 or kernel_size > 5:
         return False
-    # padded image + patch block must fit VMEM comfortably
+    # H-padded image + per-strip blocks must fit VMEM comfortably
     p = kernel_size // 2
-    img_bytes = (h + 2 * p) * (w + 2 * p) * c * 4
-    return h % _row_tile(h) == 0 and img_bytes < 9 * 1024 * 1024
+    img_bytes = (h + 2 * p) * w * c * 4
+    return h % _row_tile(h) == 0 and img_bytes < 24 * 1024 * 1024
 
 
 def _row_tile(h):
@@ -52,29 +72,31 @@ def _row_tile(h):
     return 1
 
 
-def _fwd_kernel(x_ref, w_ref, o_ref, *, k, th, h_img, w_img, cin, cout):
-    """One batch program. x_ref: [1, H+2p, W+2p, C]; w_ref: [k*k*C, O];
-    o_ref: [1, H, W, O]."""
+def _fwd_kernel(x_ref, w_ref, o_ref, *, k, th, w_img, cin, cout):
+    """Grid (batch, row-strips). x_ref: [1, H+2p, W, C] (H-padded only);
+    w_ref: [k*k*C, O]; o_ref: [1, th, W, O]. Column halo via static
+    rolls + masks (W is the lane dim; never padded)."""
+    j = pl.program_id(1)
+    r0 = j * th
     w2 = w_ref[:]
-
-    def body(i, _):
-        r0 = i * th
-        patches = []
-        for dy in range(k):
-            for dx in range(k):
-                patches.append(
-                    x_ref[0, pl.ds(r0 + dy, th), pl.ds(dx, w_img), :]
-                )
-        pm = jnp.concatenate(patches, axis=-1).reshape(
-            th * w_img, k * k * cin
-        )
-        y = jnp.dot(pm, w2, preferred_element_type=jnp.float32)
-        o_ref[0, pl.ds(r0, th), :, :] = y.reshape(th, w_img, cout).astype(
-            o_ref.dtype
-        )
-        return 0
-
-    jax.lax.fori_loop(0, h_img // th, body, 0)
+    p = k // 2
+    patches = []
+    for dy in range(k):
+        rows = x_ref[0, pl.ds(r0 + dy, th), :, :]  # [th, W, C]
+        for dx in range(-p, p + 1):
+            if dx == 0:
+                sh = rows
+            else:
+                sh = pltpu.roll(rows, (w_img - dx) % w_img, 1)
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (th, w_img, cin), 1)
+                sh = jnp.where(
+                    col >= -dx if dx < 0 else col <= w_img - 1 - dx,
+                    sh, 0.0)
+            patches.append(sh)
+    pm = jnp.concatenate(patches, axis=-1).reshape(th * w_img, k * k * cin)
+    y = jnp.dot(pm, w2, preferred_element_type=jnp.float32)
+    o_ref[:] = y.reshape(1, th, w_img, cout).astype(o_ref.dtype)
 
 
 def _conv_fwd(x, w2, k):
@@ -83,23 +105,23 @@ def _conv_fwd(x, w2, k):
     cout = w2.shape[1]
     p = k // 2
     th = _row_tile(h)
-    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)))  # H-only pad
 
     return pl.pallas_call(
-        partial(_fwd_kernel, k=k, th=th, h_img=h, w_img=wd, cin=cin,
-                cout=cout),
-        grid=(b,),
+        partial(_fwd_kernel, k=k, th=th, w_img=wd, cin=cin, cout=cout),
+        grid=(b, h // th),
         in_specs=[
-            pl.BlockSpec((1, h + 2 * p, wd + 2 * p, cin),
-                         lambda bi: (bi, 0, 0, 0),
+            pl.BlockSpec((1, h + 2 * p, wd, cin),
+                         lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k * k * cin, cout), lambda bi: (0, 0),
+            pl.BlockSpec((k * k * cin, cout), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, wd, cout), lambda bi: (bi, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, th, wd, cout), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype),
         interpret=_INTERPRET,
+        **_compiler_params(),
     )(xp, w2)
 
 
@@ -147,6 +169,7 @@ def _conv_dw(x, g, k):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k * k * cin, cout), jnp.float32),
         interpret=_INTERPRET,
+        **_compiler_params(),
     )(pm, gm)
     return out.astype(x.dtype)
 
