@@ -32,15 +32,19 @@ import time
 
 _ATTEMPT = int(os.environ.get("EVFLOW_BENCH_ATTEMPT", "0"))
 # fastest measured config: im2col-matmul convs with bf16 operands / f32
-# accumulation (625 w/s vs 553 for lax.conv f32 at the b8 recipe; deviation
-# bounds tested in tests/test_conv_dtype.py). Retries fall back to the
-# lighter lax.conv f32 graph (smaller compile for a degraded worker).
+# accumulation + full-bf16 cell compute (f32 params/loss/accumulation;
+# deviation bounds tested in tests/test_conv_dtype.py). Measured ladder at
+# the b8 recipe: 553 w/s lax.conv f32 -> 625 im2col+bf16 convs -> bf16
+# cells on top (models/policy.py). Retries fall back to the lighter
+# lax.conv f32 graph (smaller compile for a degraded worker).
 if _ATTEMPT == 0:
     os.environ.setdefault("EVFLOW_CONV_IMPL", "im2col")
     os.environ.setdefault("EVFLOW_CONV_DTYPE", "bfloat16")
+    os.environ.setdefault("EVFLOW_CELL_DTYPE", "bfloat16")
 else:
     os.environ["EVFLOW_CONV_IMPL"] = "xla"
     os.environ["EVFLOW_CONV_DTYPE"] = "float32"
+    os.environ["EVFLOW_CELL_DTYPE"] = "float32"
 
 import jax
 import jax.numpy as jnp

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.policy import cell_compute_dtype
 from ..ops.encodings import encode_window
 from ..ops.hot_filter import apply_hot_filter, init_hot_state
 from ..ops.iwe import compute_pol_iwe
@@ -33,7 +34,10 @@ class InferenceEngine:
         self.flow_scaling = config.get("metrics", {}).get("flow_scaling", 128)
         self.hot_cfg = config.get("hot_filter", {"enabled": False})
         self.round_encoding = config["model"].get("round_encoding", False)
-        self._state = model.zero_state(batch, *self.res)
+        # serving honors the cell compute-precision policy (models/policy.py):
+        # the recurrent state is carried in the policy dtype, flow leaves f32
+        self._cdtype = cell_compute_dtype()
+        self._state = model.zero_state(batch, *self.res, dtype=self._cdtype)
         self._hot = init_hot_state(batch, self.res)
         self._step = jax.jit(self._fn)
 
@@ -48,9 +52,12 @@ class InferenceEngine:
                 max_rate=self.hot_cfg.get("max_rate", 0.8),
             )
         out, state = self.model.apply(
-            params, enc["event_voxel"], enc["event_cnt"], state
+            params,
+            enc["event_voxel"].astype(self._cdtype),
+            enc["event_cnt"].astype(self._cdtype),
+            state,
         )
-        flow = out["flow"][-1]
+        flow = out["flow"][-1].astype(jnp.float32)
         iwe = None
         if self.with_iwe:
             iwe = compute_pol_iwe(
@@ -76,5 +83,6 @@ class InferenceEngine:
 
     def reset(self):
         """Sequence boundary (reference: eval_flow.py:123-126)."""
-        self._state = self.model.zero_state(self.batch, *self.res)
+        self._state = self.model.zero_state(self.batch, *self.res,
+                                            dtype=self._cdtype)
         self._hot = init_hot_state(self.batch, self.res)

@@ -315,7 +315,7 @@ class ConvLeakyRecurrent(nn.Module):
             # non-learned leaks are buffers in the reference; freezing via
             # stop_gradient keeps the param tree uniform
             leak_p = jax.lax.stop_gradient(leak_p)
-        leak = jax.nn.sigmoid(leak_p)
+        leak = jax.nn.sigmoid(leak_p).astype(ff.dtype)
         new_state = jnp.tanh(state * leak + (1.0 - leak) * (ff + rec))
         out = jax.nn.relu(Conv2d(self.features, self.kernel_size, name="out")(new_state))
         return out, new_state
@@ -346,7 +346,7 @@ class ConvLeaky(nn.Module):
         leak_p = self.param("leak", _normal_init(*self.leak), (self.features,))
         if not self.learn_leak:
             leak_p = jax.lax.stop_gradient(leak_p)
-        leak = jax.nn.sigmoid(leak_p)
+        leak = jax.nn.sigmoid(leak_p).astype(ff.dtype)
         new_state = state * leak + (1.0 - leak) * (ff + residual)
         return resolve_activation(self.activation)(new_state), new_state
 

@@ -43,13 +43,17 @@ __all__ = ["FireNet", "FIRENET_VARIANTS", "make_firenet"]
 
 def _norm_nonzero(x):
     """Normalize nonzero entries to zero mean / unit std across the whole
-    tensor (reference: model.py:247-252)."""
-    mask = (x != 0).astype(x.dtype)
+    tensor (reference: model.py:247-252). Statistics accumulate in f32
+    (whole-tensor sums overflow bf16's 8-bit mantissa)."""
+    xf = x.astype(jnp.float32)
+    mask = (xf != 0).astype(jnp.float32)
     n = jnp.maximum(mask.sum(), 1.0)
-    mean = (x * mask).sum() / n
-    var = (((x - mean) * mask) ** 2).sum() / jnp.maximum(n - 1.0, 1.0)
+    mean = (xf * mask).sum() / n
+    var = (((xf - mean) * mask) ** 2).sum() / jnp.maximum(n - 1.0, 1.0)
     std = jnp.sqrt(var)
-    return jnp.where(mask > 0, (x - mean) / jnp.maximum(std, 1e-9), x)
+    return jnp.where(
+        mask > 0, (xf - mean) / jnp.maximum(std, 1e-9), xf
+    ).astype(x.dtype)
 
 
 def _select_encoding(encoding, num_bins, event_voxel, event_cnt):

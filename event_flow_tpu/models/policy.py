@@ -1,0 +1,40 @@
+"""Cell compute-precision policy.
+
+TPU elementwise throughput and HBM bandwidth both double in bfloat16, and
+the recurrent scan's carry + remat saves dominate HBM traffic at the
+training recipe (see train/step.py::_pack_state). This policy lets the
+whole per-window cell compute — conv operands, neuron dynamics, scan
+carries — run in bf16 while keeping:
+
+  - parameters (and the Adam update) in float32,
+  - conv/matmul ACCUMULATION in float32 (preferred_element_type in
+    models/conv.py),
+  - the contrast-max loss and its per-event gather/scatter in float32
+    (flow maps are cast back at the model boundary, train/step.py).
+
+This is the standard mixed-precision training recipe; the reference has no
+analogue (torch f32 everywhere). Default is float32 for bit-level parity
+with the reference; the bench opts in (measured 2.15x on the 7-cell
+LIFFireNet scan fwd+bwd, TPU v5e). Deviation bounds are tested in
+tests/test_conv_dtype.py.
+
+Env: EVFLOW_CELL_DTYPE = float32 (default) | bfloat16.
+"""
+
+import os
+
+import jax.numpy as jnp
+
+__all__ = ["cell_compute_dtype", "set_cell_compute_dtype"]
+
+_CELL_DTYPE = os.environ.get("EVFLOW_CELL_DTYPE", "float32")
+
+
+def set_cell_compute_dtype(name):
+    global _CELL_DTYPE
+    assert name in ("float32", "bfloat16"), name
+    _CELL_DTYPE = name
+
+
+def cell_compute_dtype():
+    return jnp.bfloat16 if _CELL_DTYPE == "bfloat16" else jnp.float32

@@ -55,6 +55,14 @@ def _normal_init(mu, sigma):
     return init
 
 
+def _like(ref, *xs):
+    """Cast per-channel neuron params to the cell's compute dtype (the
+    input-current dtype) so bf16 inputs keep the elementwise dynamics in
+    bf16 (models/policy.py); the squashings (sigmoid / clip) themselves
+    run in f32 for accuracy and are rounded once here."""
+    return tuple(x.astype(ref.dtype) for x in xs)
+
+
 class _SpikingBase(nn.Module):
     """Shared helpers: per-channel neuron parameters with learn/freeze."""
 
@@ -104,6 +112,7 @@ class ConvLIF(_SpikingBase):
             self._neuron_param("leak", self.leak, self.features,
                                self.learn_leak)
         )
+        thresh, leak = _like(ff, thresh, leak)
         if self.detach:
             z = jax.lax.stop_gradient(z)
         if self.hard_reset:
@@ -159,6 +168,8 @@ class ConvPLIF(_SpikingBase):
         add_pt = jax.nn.sigmoid(
             self._neuron_param("add_pt", self.add_pt, self.features,
                                self.learn_leak))
+        thresh, leak_v, leak_pt, add_pt = _like(
+            ff, thresh, leak_v, leak_pt, add_pt)
         # presynaptic trace: avg-pooled mean |input| (spiking_submodules.py:212)
         trace_in = avg_pool(
             jnp.mean(jnp.abs(x), axis=-1, keepdims=True),
@@ -218,6 +229,7 @@ class ConvALIF(_SpikingBase):
         leak_t = jax.nn.sigmoid(
             self._neuron_param("leak_t", self.leak_t, self.features,
                                self.learn_leak))
+        t0, t1, leak_v, leak_t = _like(ff, t0, t1, leak_v, leak_t)
         # threshold trace uses pre-detach z (spiking_submodules.py:317)
         t_out = t * leak_t + (1.0 - leak_t) * z
         thresh = t0 + t1 * t_out
@@ -274,6 +286,7 @@ class ConvXLIF(_SpikingBase):
         leak_pt = jax.nn.sigmoid(
             self._neuron_param("leak_pt", self.leak_pt, self.features,
                                self.learn_leak))
+        t0, t1, leak_v, leak_pt = _like(ff, t0, t1, leak_v, leak_pt)
         trace_in = avg_pool(
             jnp.mean(jnp.abs(x), axis=-1, keepdims=True),
             self.kernel_size, self.stride, self.kernel_size // 2,
@@ -337,6 +350,7 @@ class ConvLIFRecurrent(_SpikingBase):
         leak = jax.nn.sigmoid(
             self._neuron_param("leak", self.leak, self.features,
                                self.learn_leak))
+        thresh, leak = _like(ff, thresh, leak)
         if self.detach:
             z = jax.lax.stop_gradient(z)
         cur = ff + rec
@@ -390,6 +404,8 @@ class ConvPLIFRecurrent(_SpikingBase):
         add_pt = jax.nn.sigmoid(
             self._neuron_param("add_pt", self.add_pt, self.features,
                                self.learn_leak))
+        thresh, leak_v, leak_pt, add_pt = _like(
+            ff, thresh, leak_v, leak_pt, add_pt)
         trace_in = avg_pool(
             jnp.mean(jnp.abs(x), axis=-1, keepdims=True),
             self.kernel_size, 1, self.kernel_size // 2,
@@ -448,6 +464,7 @@ class ConvALIFRecurrent(_SpikingBase):
         leak_t = jax.nn.sigmoid(
             self._neuron_param("leak_t", self.leak_t, self.features,
                                self.learn_leak))
+        t0, t1, leak_v, leak_t = _like(ff, t0, t1, leak_v, leak_t)
         t_out = t * leak_t + (1.0 - leak_t) * z
         thresh = t0 + t1 * t_out
         if self.detach:
@@ -504,6 +521,7 @@ class ConvXLIFRecurrent(_SpikingBase):
         leak_pt = jax.nn.sigmoid(
             self._neuron_param("leak_pt", self.leak_pt, self.features,
                                self.learn_leak))
+        t0, t1, leak_v, leak_pt = _like(ff, t0, t1, leak_v, leak_pt)
         trace_in = avg_pool(
             jnp.mean(jnp.abs(x), axis=-1, keepdims=True),
             self.kernel_size, self.stride, self.kernel_size // 2,

@@ -26,6 +26,7 @@ import optax
 
 from ..data.augment import augment_events
 from ..loss.warping import LossConfig, event_warping_loss
+from ..models.policy import cell_compute_dtype
 from ..ops.encodings import encode_windows_cf
 
 __all__ = ["TrainState", "make_train_step", "make_train_step_multi",
@@ -96,8 +97,13 @@ def make_sequence_forward(model, res, num_bins, round_encoding=False,
                 lambda n, o: jnp.where(live, n, o), new_state, state
             )
         # flow maps return as (u, v) scalar planes: a stacked [T,B,H,W,2]
-        # buffer would lane-pad 64x on TPU
-        flows = tuple((f[..., 0], f[..., 1]) for f in out["flow"])
+        # buffer would lane-pad 64x on TPU. Cast to f32 at the model
+        # boundary: the contrast-max loss always runs in f32 regardless of
+        # the cell compute dtype (models/policy.py).
+        flows = tuple(
+            (f[..., 0].astype(jnp.float32), f[..., 1].astype(jnp.float32))
+            for f in out["flow"]
+        )
         return new_state, flows
 
     if remat:
@@ -118,18 +124,29 @@ def make_sequence_forward(model, res, num_bins, round_encoding=False,
                 * live_t[None, :, None]
         enc = encode_windows_cf(events, res, num_bins, valid=valid,
                                 round_ts=round_encoding)
-        vox_t = jnp.moveaxis(enc["event_voxel"], 1, 0)  # [T,B,C,H,W]
-        cnt_t = jnp.moveaxis(enc["event_cnt"], 1, 0)
+        # cell compute-precision boundary (models/policy.py): encodings and
+        # recurrent state enter the scan in the policy dtype; flow maps
+        # leave it in f32 (cast in ``body``) and the carried state is cast
+        # back below so the external TrainState stays f32.
+        cdtype = cell_compute_dtype()
+        vox_t = jnp.moveaxis(enc["event_voxel"], 1, 0).astype(cdtype)
+        cnt_t = jnp.moveaxis(enc["event_cnt"], 1, 0).astype(cdtype)
+        model_state_c = jax.tree_util.tree_map(
+            lambda s: s.astype(cdtype), model_state
+        )
 
         def scan_body(state, xs):
             return body(state, (params, xs))
 
-        state_template[0] = model_state
+        state_template[0] = model_state_c
         xs = (vox_t, cnt_t, live_t if t_live is not None else None)
         state, flows = jax.lax.scan(
-            scan_body, _pack_state(model_state), xs
+            scan_body, _pack_state(model_state_c), xs
         )
-        state = _unpack_state(state, model_state)
+        state = _unpack_state(state, model_state_c)
+        state = jax.tree_util.tree_map(
+            lambda s, t: s.astype(t.dtype), state, model_state
+        )
         # [T, B, H, W] -> [B, T, H, W] per plane; keep (u, v) tuple form
         flows = tuple(
             (jnp.moveaxis(u, 0, 1), jnp.moveaxis(v, 0, 1)) for u, v in flows
@@ -275,7 +292,12 @@ def make_train_step_multi(model, optimizer, res, num_bins,
 def init_train_state(model, optimizer, key, batch, res, num_bins):
     """Initialize params / optimizer / recurrent state for a model."""
     h, w = res
-    model_state = model.zero_state(batch, h, w)
+    # zero_state tuples alias one zeros buffer across leaves (e.g. LIF's
+    # (v, z)); donation (donate_argnums on the train step) rejects the
+    # same buffer appearing twice, so materialize distinct leaves
+    model_state = jax.tree_util.tree_map(
+        lambda s: s.copy(), model.zero_state(batch, h, w)
+    )
     voxel = jnp.zeros((batch, h, w, num_bins))
     cnt = jnp.zeros((batch, h, w, 2))
     params = model.init(key, voxel, cnt, model_state)

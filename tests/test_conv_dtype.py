@@ -1,9 +1,15 @@
-"""bf16-compute convolution option (EVFLOW_CONV_DTYPE / set_conv_compute_dtype).
+"""bf16 compute-precision options.
 
-The TPU MXU is bf16-native; the option casts conv operands to bf16 and
-accumulates in f32 (models/conv.py::_conv_operands). These tests bound the
-numeric deviation: per-conv output tolerance, full-model forward tolerance,
-and that a short training run still optimizes."""
+Two independent levers, both f32 by default (bit-level reference parity):
+  - EVFLOW_CONV_DTYPE (models/conv.py::_conv_operands): conv operands in
+    bf16, f32 accumulation — the MXU fast path.
+  - EVFLOW_CELL_DTYPE (models/policy.py): the whole per-window cell
+    compute (encodings in, neuron dynamics, scan carries) in bf16 with
+    params, optimizer, and the contrast-max loss kept f32 — the HBM
+    bandwidth lever (the scan carry + remat saves dominate traffic).
+
+These tests bound the numeric deviation of each lever and check that
+short training runs still optimize under them."""
 
 import jax
 import jax.numpy as jnp
@@ -11,6 +17,7 @@ import numpy as np
 import pytest
 
 from event_flow_tpu.models import conv as conv_mod
+from event_flow_tpu.models import policy as policy_mod
 from event_flow_tpu.models.registry import get_model
 
 
@@ -19,6 +26,13 @@ def bf16_convs():
     conv_mod.set_conv_compute_dtype("bfloat16")
     yield
     conv_mod.set_conv_compute_dtype("float32")
+
+
+@pytest.fixture
+def bf16_cells():
+    policy_mod.set_cell_compute_dtype("bfloat16")
+    yield
+    policy_mod.set_cell_compute_dtype("float32")
 
 
 def test_single_conv_bf16_close_to_f32(bf16_convs):
@@ -88,3 +102,79 @@ def test_training_still_optimizes_bf16(bf16_convs):
         losses.append(float(loss))
     assert np.isfinite(losses[-1])
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def _step_setup(name, spiking, res=(32, 32), b=2, t=3, n=300, seed=0):
+    from event_flow_tpu.data.synthetic import constant_flow_window
+    from event_flow_tpu.loss.warping import LossConfig
+    from event_flow_tpu.train.optim import make_optimizer
+    from event_flow_tpu.train.step import init_train_state, make_train_step
+
+    cfg = {"name": name, "encoding": "cnt", "num_bins": 2,
+           "base_num_channels": 8, "kernel_size": 3,
+           "activations": ["arctanspike", "arctanspike"] if spiking
+           else ["relu", None],
+           "mask_output": True,
+           "spiking_neuron": {"leak": [-4.0, 0.1], "thresh": [0.8, 0.1],
+                              "learn_leak": True, "learn_thresh": True,
+                              "hard_reset": True} if spiking else None}
+    model = get_model(name, cfg)
+    tx = make_optimizer("Adam", 2e-3, clip_grad=100.0)
+    step = jax.jit(make_train_step(
+        model, tx, res, 2, LossConfig(res, float(max(res)), 0.001,
+                                      smoothing_mask=True)))
+    state = init_train_state(model, tx, jax.random.PRNGKey(seed), b, res, 2)
+    rng = np.random.default_rng(seed)
+    ev = jnp.asarray(np.stack([np.stack(
+        [constant_flow_window(rng, n, res, (3.0, -2.0), 12)
+         for _ in range(t)]) for _ in range(b)]))
+    return step, state, ev, jnp.ones((b, t, n)), jnp.zeros((b, 3))
+
+
+def test_cell_bf16_loss_close_and_state_f32(bf16_cells):
+    """One ANN train step under bf16 cells: loss within a few percent of
+    f32, external TrainState (params / recurrent state) stays f32."""
+    step, state, ev, valid, aug = _step_setup("FireNet", spiking=False)
+    st_bf, loss_bf = step(state, ev, valid, aug, jnp.asarray(False))
+    policy_mod.set_cell_compute_dtype("float32")
+    step_f, state_f, *_ = _step_setup("FireNet", spiking=False)
+    _, loss_f = step_f(state_f, ev, valid, aug, jnp.asarray(False))
+    assert abs(float(loss_bf) - float(loss_f)) < 0.05 * abs(float(loss_f))
+    for leaf in jax.tree_util.tree_leaves(
+        (st_bf.params, st_bf.model_state)
+    ):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+
+
+def test_cell_bf16_lif_tracks_f32_training(bf16_cells):
+    """The flagship SNN under full-bf16 cell compute: surrogate gradients
+    flow through bf16 spikes and the per-step training losses track the
+    f32 run within a few percent over several updates (spike flips from
+    rounding stay rare at these dynamics)."""
+    step, state, ev, valid, aug = _step_setup("LIFFireNet", spiking=True)
+    bf = []
+    for _ in range(8):
+        state, loss = step(state, ev, valid, aug, jnp.asarray(False))
+        bf.append(float(loss))
+    policy_mod.set_cell_compute_dtype("float32")
+    step, state, ev, valid, aug = _step_setup("LIFFireNet", spiking=True)
+    f32 = []
+    for _ in range(8):
+        state, loss = step(state, ev, valid, aug, jnp.asarray(False))
+        f32.append(float(loss))
+    assert np.all(np.isfinite(bf))
+    np.testing.assert_allclose(bf, f32, rtol=0.05)
+
+
+def test_cell_bf16_carried_state_matches_reset_semantics(bf16_cells):
+    """Masked sequence reset still zeroes bf16-computed carried state."""
+    step, state, ev, valid, aug = _step_setup("LIFFireNet", spiking=True)
+    state, _ = step(state, ev, valid, aug, jnp.asarray(False))
+    st_reset, _ = step(state, ev, valid, aug, jnp.asarray(True))
+    st_zero, _ = step(state._replace(
+        model_state=jax.tree_util.tree_map(
+            jnp.zeros_like, state.model_state)),
+        ev, valid, aug, jnp.asarray(False))
+    for a, b in zip(jax.tree_util.tree_leaves(st_reset.model_state),
+                    jax.tree_util.tree_leaves(st_zero.model_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

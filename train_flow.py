@@ -161,5 +161,13 @@ if __name__ == "__main__":
     ap.add_argument("--max_updates", type=int, default=0)
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all visible devices")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed precision: bf16 conv operands + cell "
+                         "compute, f32 params/loss (models/policy.py)")
     args = ap.parse_args()
+    if args.bf16:
+        from event_flow_tpu.models.conv import set_conv_compute_dtype
+        from event_flow_tpu.models.policy import set_cell_compute_dtype
+        set_conv_compute_dtype("bfloat16")
+        set_cell_compute_dtype("bfloat16")
     train(args)
