@@ -19,15 +19,24 @@ LIFFireNet scan fwd+bwd, TPU v5e). Deviation bounds are tested in
 tests/test_conv_dtype.py.
 
 Env: EVFLOW_CELL_DTYPE = float32 (default) | bfloat16.
+
+A second, orthogonal lever selects the cell implementation
+(EVFLOW_CELL_IMPL = xla | pallas): 'pallas' routes qualifying LIF cells
+(stride 1, odd k, no norm, detach) through the fused conv+LIF Pallas
+kernel (ops/fused_lif_pallas.py) — the north-star fusion over the
+reference's conv-then-neuron hot path (spiking_submodules.py:96-126).
+The parameter tree is identical either way, so checkpoints interchange.
 """
 
 import os
 
 import jax.numpy as jnp
 
-__all__ = ["cell_compute_dtype", "set_cell_compute_dtype"]
+__all__ = ["cell_compute_dtype", "set_cell_compute_dtype",
+           "cell_impl", "set_cell_impl"]
 
 _CELL_DTYPE = os.environ.get("EVFLOW_CELL_DTYPE", "float32")
+_CELL_IMPL = os.environ.get("EVFLOW_CELL_IMPL", "xla")
 
 
 def set_cell_compute_dtype(name):
@@ -38,3 +47,13 @@ def set_cell_compute_dtype(name):
 
 def cell_compute_dtype():
     return jnp.bfloat16 if _CELL_DTYPE == "bfloat16" else jnp.float32
+
+
+def set_cell_impl(name):
+    global _CELL_IMPL
+    assert name in ("xla", "pallas"), name
+    _CELL_IMPL = name
+
+
+def cell_impl():
+    return _CELL_IMPL

@@ -30,7 +30,8 @@ from flax import linen as nn
 
 from ..ops.resize import avg_pool, upsample2x_bilinear
 from ..ops.spike import get_spike_fn
-from .conv import Conv2d, out_hw
+from .conv import Conv2d, _uniform_fan_in_channels_init, out_hw
+from .policy import cell_impl
 
 __all__ = [
     "ConvLIF",
@@ -63,6 +64,23 @@ def _like(ref, *xs):
     return tuple(x.astype(ref.dtype) for x in xs)
 
 
+class _ConvKernel(nn.Module):
+    """Bare conv-weight holder for the fused Pallas cell path: declares
+    the SAME param ('<name>/kernel', snn init) as the bias-free Conv2d it
+    replaces, so the parameter tree — and therefore checkpoints and the
+    torch importer — are identical for both implementations."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, cin):
+        return self.param(
+            "kernel", _uniform_fan_in_channels_init,
+            (self.kernel_size, self.kernel_size, cin, self.features),
+        )
+
+
 class _SpikingBase(nn.Module):
     """Shared helpers: per-channel neuron parameters with learn/freeze."""
 
@@ -71,6 +89,17 @@ class _SpikingBase(nn.Module):
         if not learn:
             p = jax.lax.stop_gradient(p)
         return p
+
+    def _use_fused(self, x, stride):
+        """Route through the fused conv+LIF Pallas kernel
+        (ops/fused_lif_pallas.py) when selected and the shape qualifies."""
+        if cell_impl() != "pallas":
+            return False
+        if stride != 1 or self.norm not in (None, "none") or not self.detach:
+            return False
+        from ..ops.fused_lif_pallas import fused_lif_available
+
+        return fused_lif_available(x.shape, self.kernel_size, stride)
 
 
 class ConvLIF(_SpikingBase):
@@ -100,6 +129,24 @@ class ConvLIF(_SpikingBase):
             x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(x)
         elif self.norm not in (None, "none", "weight"):
             raise NotImplementedError(f"norm={self.norm!r} is not supported")
+        if self._use_fused(x, self.stride) and not wn:
+            from ..ops.fused_lif_pallas import fused_conv_lif
+
+            kernel = _ConvKernel(self.features, self.kernel_size,
+                                 name="ff")(x.shape[-1])
+            thresh = jnp.maximum(
+                self._neuron_param("thresh", self.thresh, self.features,
+                                   self.learn_thresh), 0.01)
+            leak = jax.nn.sigmoid(
+                self._neuron_param("leak", self.leak, self.features,
+                                   self.learn_leak))
+            v, z = state
+            v_out, z_out = fused_conv_lif(
+                x, kernel.astype(x.dtype), v, z, leak, thresh,
+                self.kernel_size, self.hard_reset, self.activation,
+                self.act_width,
+            )
+            return z_out + residual, (v_out, z_out)
         ff = Conv2d(self.features, self.kernel_size, self.stride,
                     use_bias=False, init="snn", weight_norm=wn, name="ff")(x)
         v, z = state
@@ -336,6 +383,26 @@ class ConvLIFRecurrent(_SpikingBase):
             x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm_ff")(x)
         elif self.norm not in (None, "none", "weight"):
             raise NotImplementedError(f"norm={self.norm!r} is not supported")
+        if self._use_fused(x, 1) and not wn:
+            from ..ops.fused_lif_pallas import fused_conv_lif_rec
+
+            kernel = _ConvKernel(self.features, self.kernel_size,
+                                 name="ff")(x.shape[-1])
+            kernel_rec = _ConvKernel(self.features, self.kernel_size,
+                                     name="rec")(self.features)
+            thresh = jnp.maximum(
+                self._neuron_param("thresh", self.thresh, self.features,
+                                   self.learn_thresh), 0.01)
+            leak = jax.nn.sigmoid(
+                self._neuron_param("leak", self.leak, self.features,
+                                   self.learn_leak))
+            v, z = state
+            v_out, z_out = fused_conv_lif_rec(
+                x, kernel.astype(x.dtype), kernel_rec.astype(x.dtype),
+                v, z, z, leak, thresh, self.kernel_size, self.hard_reset,
+                self.activation, self.act_width,
+            )
+            return z_out, (v_out, z_out)
         ff = Conv2d(self.features, self.kernel_size, 1,
                     use_bias=False, init="snn", weight_norm=wn, name="ff")(x)
         v, z = state

@@ -80,9 +80,15 @@ def _fwd_kernel(x_ref, w_ref, o_ref, *, k, th, w_img, cin, cout):
     r0 = j * th
     w2 = w_ref[:]
     p = k // 2
+    dtype = x_ref.dtype
+    # Mosaic's rotate handles 32-bit data only: narrow inputs (bf16) roll
+    # in f32, and the patch matrix casts back before the MXU dot
+    narrow = jnp.dtype(dtype).itemsize < 4
     patches = []
     for dy in range(k):
         rows = x_ref[0, pl.ds(r0 + dy, th), :, :]  # [th, W, C]
+        if narrow:
+            rows = rows.astype(jnp.float32)
         for dx in range(-p, p + 1):
             if dx == 0:
                 sh = rows
@@ -95,6 +101,8 @@ def _fwd_kernel(x_ref, w_ref, o_ref, *, k, th, w_img, cin, cout):
                     sh, 0.0)
             patches.append(sh)
     pm = jnp.concatenate(patches, axis=-1).reshape(th * w_img, k * k * cin)
+    if narrow:
+        pm = pm.astype(dtype)
     y = jnp.dot(pm, w2, preferred_element_type=jnp.float32)
     o_ref[:] = y.reshape(1, th, w_img, cout).astype(o_ref.dtype)
 

@@ -113,6 +113,12 @@ class Trainer:
         self.train_loss = 0.0
         self.best_loss = 1.0e6
         self.updates = 0
+        # in-flight device losses: reading a loss back is a full host sync
+        # (~35 ms on a tunneled TPU), so keep up to 2 updates in flight and
+        # only sync the one that is surely done — the dispatch pipeline
+        # stays full and the host assembles the next window batch while
+        # the device computes
+        self._loss_q = []
 
     def load_params(self, run_dir):
         """Restore params from a previous run's best checkpoint
@@ -211,8 +217,6 @@ class Trainer:
             stats = None
         self._events, self._valid = [], []
         self._pending_reset = False
-        loss_val = float(loss)
-        self.train_loss += loss_val
         self.updates += 1
         if self.tracker and stats is not None:
             rows = [
@@ -220,11 +224,21 @@ class Trainer:
                 for name, v in _flatten_stats(stats)
             ]
             self.tracker.save_csv(rows, "grads_w.csv")
-        return loss_val
+        self._loss_q.append(loss)
+        if len(self._loss_q) > 2:
+            self.train_loss += float(self._loss_q.pop(0))
+        return loss
+
+    def drain_losses(self):
+        """Sync all in-flight losses into ``train_loss`` (epoch ends,
+        checkpoints, tests)."""
+        while self._loss_q:
+            self.train_loss += float(self._loss_q.pop(0))
 
     def end_epoch(self, stream, epoch):
         """Epoch bookkeeping: mean loss, best checkpoint
         (reference: train_flow.py:107-127)."""
+        self.drain_losses()
         samples = max(stream.samples, 1)
         mean_loss = self.train_loss / (samples + 1)
         if self.tracker:

@@ -82,6 +82,19 @@ def make_sequence_forward(model, res, num_bins, round_encoding=False,
 
     state_template = [None]
 
+    # Rematerialization policy for the scan body (EVFLOW_REMAT):
+    #   'full' (default) — save only the carry, recompute the whole window
+    #   forward in the backward pass (minimum HBM, maximum recompute);
+    #   'dots' — save matmul/conv outputs, recompute elementwise only;
+    #   'none' — no remat, XLA saves what it wants.
+    # Measured at the b8 recipe (bf16 cells + im2col convs, v5e):
+    # full 125 ms/update < none 148 < dots 155 — the workload is
+    # bandwidth-bound, so trading recompute for saved-intermediate HBM
+    # traffic loses; 'full' stays the default.
+    import os
+
+    remat_mode = os.environ.get("EVFLOW_REMAT", "full")
+
     def body(state, xt):
         params, (voxel_cf, cnt_cf, live) = xt[0], xt[1]
         # per-window NHWC transpose for the conv stack (one window's
@@ -106,8 +119,13 @@ def make_sequence_forward(model, res, num_bins, round_encoding=False,
         )
         return new_state, flows
 
-    if remat:
-        body = jax.checkpoint(body)
+    if remat and remat_mode != "none":
+        if remat_mode == "dots":
+            body = jax.checkpoint(
+                body, policy=jax.checkpoint_policies.dots_saveable
+            )
+        else:
+            body = jax.checkpoint(body)
 
     def sequence_forward(params, model_state, events, valid, aug_flags,
                          t_live=None):

@@ -121,7 +121,9 @@ def main():
             continue
         done += 1
         if done == warmup:
+            trainer.drain_losses()  # fences warmup before the clock starts
             t_start = time.perf_counter()
+    trainer.drain_losses()  # fence: count only completed updates
     dt = time.perf_counter() - t_start
     e2e = args.updates * T * args.batch / dt
     print(f"host pipeline ({tag}) alone: {host_rate:8.0f} windows/s")
