@@ -36,8 +36,9 @@ of the x- and y-component differences, sqrt((du+dv)^2+eps)
 """
 
 from dataclasses import dataclass
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.iwe import get_interpolation_compact_cf, interpolate_compact_cf
@@ -88,11 +89,14 @@ def _per_event_flows(u, v, lin, overwrite, t_live=None):
 
 
 def _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, backward, max_ts,
-                   cfg: LossConfig):
+                   cfg: LossConfig, event_axis=None):
     """One warp direction's loss term (flow.py:196-259), channels-first:
     one compact scatter produces the pos/neg count and pos/neg
     (tref-relative) timestamp images. All operands are [B, M] planes.
-    ``backward`` (static bool) selects tref=0, else tref=max_ts."""
+    ``backward`` (static bool) selects tref=0, else tref=max_ts.
+    Under ``shard_map`` (``event_axis`` set) each device scatters its
+    event shard locally and the accumulator images combine by an explicit
+    ``psum`` over the event mesh axis — the one collective of the loss."""
     res = cfg.resolution
     tref = 0.0 if backward else max_ts
     idx, w4 = get_interpolation_compact_cf(
@@ -106,6 +110,8 @@ def _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, backward, max_ts,
         payload.shape[0], 16, payload.shape[-1]
     )
     img = interpolate_compact_cf(idx, stack, res, 4)  # [B, 4, H, W]
+    if event_axis is not None:
+        img = jax.lax.psum(img, event_axis)
     iwe = img[:, 0:2]
     iwe_ts = img[:, 2:4]
 
@@ -165,7 +171,8 @@ def _smoothness(u, v, mask, cfg: LossConfig, t_live=None, live_t=None):
 
 
 def event_warping_loss(flow_maps: Sequence, event_list, pol_mask,
-                       event_mask, cfg: LossConfig, t_live=None):
+                       event_mask, cfg: LossConfig, t_live=None,
+                       axes: Optional[Tuple[str, str]] = None):
     """Full loss over all flow scales (flow.py:176-301).
 
     Args (shapes in module docstring). ``flow_maps`` is a list over scales;
@@ -180,8 +187,16 @@ def event_warping_loss(flow_maps: Sequence, event_list, pol_mask,
     of forwards actually accumulated (flow.py:90, :196) — with padding that
     is t_live, and pad flow maps drop out of the smoothness term.
 
+    ``axes`` = (data_axis, event_axis) runs the loss under ``shard_map``
+    (parallel/shard_loss.py): events/pol_mask arrive as per-device event
+    shards (flow maps replicated over the event axis, batch sharded over
+    data), the IWE accumulator images combine by an explicit ``psum`` over
+    the event axis, and the final batch-summed scalar psums over data.
+    Either element may be None to skip that collective.
+
     Returns scalar loss (summed over batch, like the reference).
     """
+    data_axis, event_axis = axes if axes is not None else (None, None)
     b, t, n, _ = event_list.shape
     h, w = cfg.resolution
     if t_live is None:
@@ -220,8 +235,10 @@ def event_warping_loss(flow_maps: Sequence, event_list, pol_mask,
                                   t_live=t_live)
         fy = fy.reshape(b, t * n)
         fx = fx.reshape(b, t * n)
-        fw = _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, False, max_ts, cfg)
-        bw = _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, True, max_ts, cfg)
+        fw = _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, False, max_ts,
+                            cfg, event_axis=event_axis)
+        bw = _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, True, max_ts,
+                            cfg, event_axis=event_axis)
         if cfg.overwrite_intermediate:
             if t_live is None:
                 u_sm, v_sm = u[:, -1:], v[:, -1:]
@@ -237,4 +254,9 @@ def event_warping_loss(flow_maps: Sequence, event_list, pol_mask,
                              live_t=live_t)
         total = total + fw + bw + cfg.flow_regul_weight * sm
 
-    return total / len(flow_maps)
+    total = total / len(flow_maps)
+    if data_axis is not None:
+        # batch is sharded over the data axis; the reference's loss sums
+        # over batch, so the per-shard partial sums combine by psum
+        total = jax.lax.psum(total, data_axis)
+    return total

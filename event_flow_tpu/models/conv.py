@@ -61,10 +61,14 @@ def set_conv_impl(name):
 
 
 def _conv_impl_for(x_shape, k, stride):
-    if _CONV_IMPL in ("xla", "im2col"):
-        return _CONV_IMPL
+    if _CONV_IMPL == "xla":
+        return "xla"
+    # the im2col formulation is stride-1 odd-k only; strided convs (UNet
+    # encoders) always take lax.conv, even when im2col is forced
     if stride != 1 or k % 2 == 0:
         return "xla"
+    if _CONV_IMPL == "im2col":
+        return "im2col"
     if _CONV_IMPL == "pallas":
         from ..ops.conv_pallas import conv2d_pallas_available
 

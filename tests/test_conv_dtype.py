@@ -178,3 +178,60 @@ def test_cell_bf16_carried_state_matches_reset_semantics(bf16_cells):
     for a, b in zip(jax.tree_util.tree_leaves(st_reset.model_state),
                     jax.tree_util.tree_leaves(st_zero.model_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_forced_im2col_respects_stride():
+    """EVFLOW_CONV_IMPL=im2col must not hijack strided convs: the im2col
+    formulation is stride-1 only, so UNet encoder convs (stride 2) fall
+    back to lax.conv and keep their downsampling (regression: forcing
+    im2col once routed stride-2 convs through the stride-1 path and broke
+    every UNet-family model under the bench's fast-conv config)."""
+    from event_flow_tpu.models import conv as cm
+
+    old = cm._CONV_IMPL
+    cm.set_conv_impl("im2col")
+    try:
+        m = cm.Conv2d(features=8, kernel_size=3, stride=2)
+        x = jnp.zeros((2, 16, 16, 4))
+        params = {"params": {"kernel": cm.torch_conv_kernel_init(
+            jax.random.PRNGKey(0), (3, 3, 4, 8)), "bias": jnp.zeros((8,))}}
+        y = m.apply(params, x)
+        assert y.shape == (2, 8, 8, 8), y.shape
+    finally:
+        cm.set_conv_impl(old)
+
+
+def test_unet_trace_under_fast_conv_config():
+    """RecEVFlowNet's full train step must trace under the bench's
+    im2col+bf16 configuration (stride-2 encoders + bf16 cells)."""
+    from event_flow_tpu.loss.warping import LossConfig
+    from event_flow_tpu.models import conv as cm
+    from event_flow_tpu.train.optim import make_optimizer
+    from event_flow_tpu.train.step import init_train_state, make_train_step
+
+    cfg = {"name": "RecEVFlowNet", "encoding": "voxel", "num_bins": 5,
+           "base_num_channels": 8, "kernel_size": 3, "mask_output": True,
+           "norm_input": False, "activations": ["relu", None],
+           "spiking_neuron": None}
+    model = get_model("RecEVFlowNet", cfg)
+    tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
+    res = (32, 32)
+    cm.set_conv_impl("im2col")
+    cm.set_conv_compute_dtype("bfloat16")
+    policy_mod.set_cell_compute_dtype("bfloat16")
+    try:
+        step = jax.jit(make_train_step(
+            model, tx, res, 5,
+            LossConfig(res, 32.0, 0.001, smoothing_mask=True),
+            micro_batch=1))
+        state = init_train_state(model, tx, jax.random.PRNGKey(0), 2,
+                                 res, 5)
+        step.lower(state,
+                   jax.ShapeDtypeStruct((2, 3, 100, 4), jnp.float32),
+                   jax.ShapeDtypeStruct((2, 3, 100), jnp.float32),
+                   jax.ShapeDtypeStruct((2, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((), jnp.bool_))
+    finally:
+        cm.set_conv_impl("auto")
+        cm.set_conv_compute_dtype("float32")
+        policy_mod.set_cell_compute_dtype("float32")

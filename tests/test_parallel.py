@@ -86,3 +86,46 @@ def test_8way_dp_matches_smaller_mesh():
     st2 = shard_state(st20, m2)
     _, l2 = s2(st2, ev, valid, aug, reset)
     np.testing.assert_allclose(float(l4), float(l2), rtol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_shard_map_loss_matches_plain_loss():
+    """Explicit shard_map loss (parallel/shard_loss.py): per-device event
+    shards scatter locally, accumulator images psum over the event axis,
+    the batch sum psums over data — value AND gradients (w.r.t. the flow
+    maps) must equal the plain single-device loss."""
+    from event_flow_tpu.loss.warping import event_warping_loss
+    from event_flow_tpu.ops.encodings import encode_windows_cf
+    from event_flow_tpu.parallel.mesh import make_mesh_2d
+    from event_flow_tpu.parallel.shard_loss import make_sharded_loss
+
+    rng = np.random.default_rng(3)
+    ev = jnp.asarray(np.stack([
+        np.stack([constant_flow_window(rng, N, RES, (2.0, -1.0), 12)
+                  for _ in range(T)]) for _ in range(B)]))
+    enc = encode_windows_cf(ev, RES, 2, valid=jnp.ones((B, T, N)))
+    h, w = RES
+    u = jnp.asarray(rng.normal(size=(B, T, h, w)).astype(np.float32)) * 0.1
+    v = jnp.asarray(rng.normal(size=(B, T, h, w)).astype(np.float32)) * 0.1
+    cfg = LossConfig(RES, float(max(RES)), 0.001, smoothing_mask=True)
+
+    def plain(u, v):
+        return event_warping_loss(
+            [(u, v)], enc["event_list"], enc["pol_mask"],
+            enc["event_mask"], cfg)
+
+    mesh = make_mesh_2d(4, 2)
+    sharded_loss = make_sharded_loss(mesh, cfg)
+
+    def sharded(u, v):
+        return sharded_loss([(u, v)], enc["event_list"], enc["pol_mask"],
+                            enc["event_mask"])
+
+    lp, (gu_p, gv_p) = jax.value_and_grad(plain, argnums=(0, 1))(u, v)
+    ls, (gu_s, gv_s) = jax.jit(
+        jax.value_and_grad(sharded, argnums=(0, 1)))(u, v)
+    np.testing.assert_allclose(float(lp), float(ls), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(gu_p), np.asarray(gu_s),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_s),
+                               atol=1e-5)
