@@ -90,16 +90,18 @@ class _SpikingBase(nn.Module):
             p = jax.lax.stop_gradient(p)
         return p
 
-    def _use_fused(self, x, stride):
+    def _use_fused(self, x, stride, rec=False):
         """Route through the fused conv+LIF Pallas kernel
-        (ops/fused_lif_pallas.py) when selected and the shape qualifies."""
+        (ops/fused_lif_pallas.py) when selected and the shape qualifies
+        (norm options — incl. weight norm — stay on the XLA path)."""
         if cell_impl() != "pallas":
             return False
         if stride != 1 or self.norm not in (None, "none") or not self.detach:
             return False
         from ..ops.fused_lif_pallas import fused_lif_available
 
-        return fused_lif_available(x.shape, self.kernel_size, stride)
+        return fused_lif_available(x.shape, self.kernel_size, stride,
+                                   cout=self.features, rec=rec)
 
 
 class ConvLIF(_SpikingBase):
@@ -129,7 +131,7 @@ class ConvLIF(_SpikingBase):
             x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm")(x)
         elif self.norm not in (None, "none", "weight"):
             raise NotImplementedError(f"norm={self.norm!r} is not supported")
-        if self._use_fused(x, self.stride) and not wn:
+        if self._use_fused(x, self.stride):
             from ..ops.fused_lif_pallas import fused_conv_lif
 
             kernel = _ConvKernel(self.features, self.kernel_size,
@@ -383,7 +385,7 @@ class ConvLIFRecurrent(_SpikingBase):
             x = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm_ff")(x)
         elif self.norm not in (None, "none", "weight"):
             raise NotImplementedError(f"norm={self.norm!r} is not supported")
-        if self._use_fused(x, 1) and not wn:
+        if self._use_fused(x, 1, rec=True):
             from ..ops.fused_lif_pallas import fused_conv_lif_rec
 
             kernel = _ConvKernel(self.features, self.kernel_size,

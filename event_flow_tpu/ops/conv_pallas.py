@@ -72,19 +72,16 @@ def _row_tile(h):
     return 1
 
 
-def _fwd_kernel(x_ref, w_ref, o_ref, *, k, th, w_img, cin, cout):
-    """Grid (batch, row-strips). x_ref: [1, H+2p, W, C] (H-padded only);
-    w_ref: [k*k*C, O]; o_ref: [1, th, W, O]. Column halo via static
-    rolls + masks (W is the lane dim; never padded)."""
-    j = pl.program_id(1)
-    r0 = j * th
-    w2 = w_ref[:]
+def _patches(x_ref, r0, k, th, w_img, cin):
+    """Im2col patch strip [th*W, k*k*C] from an H-padded VMEM image
+    ([1, H+2p, W, C]); column halo via static rolls + masks (W is the
+    lane dim; never padded). Mosaic's rotate only handles 32-bit data,
+    so narrow inputs (bf16) roll in f32 and the patch matrix casts back
+    before the MXU dot. Shared by the conv and fused conv+LIF kernels."""
     p = k // 2
     dtype = x_ref.dtype
-    # Mosaic's rotate handles 32-bit data only: narrow inputs (bf16) roll
-    # in f32, and the patch matrix casts back before the MXU dot
     narrow = jnp.dtype(dtype).itemsize < 4
-    patches = []
+    out = []
     for dy in range(k):
         rows = x_ref[0, pl.ds(r0 + dy, th), :, :]  # [th, W, C]
         if narrow:
@@ -99,11 +96,17 @@ def _fwd_kernel(x_ref, w_ref, o_ref, *, k, th, w_img, cin, cout):
                 sh = jnp.where(
                     col >= -dx if dx < 0 else col <= w_img - 1 - dx,
                     sh, 0.0)
-            patches.append(sh)
-    pm = jnp.concatenate(patches, axis=-1).reshape(th * w_img, k * k * cin)
-    if narrow:
-        pm = pm.astype(dtype)
-    y = jnp.dot(pm, w2, preferred_element_type=jnp.float32)
+            out.append(sh)
+    pm = jnp.concatenate(out, axis=-1).reshape(th * w_img, k * k * cin)
+    return pm.astype(dtype) if narrow else pm
+
+
+def _fwd_kernel(x_ref, w_ref, o_ref, *, k, th, w_img, cin, cout):
+    """Grid (batch, row-strips). x_ref: [1, H+2p, W, C] (H-padded only);
+    w_ref: [k*k*C, O]; o_ref: [1, th, W, O]."""
+    j = pl.program_id(1)
+    pm = _patches(x_ref, j * th, k, th, w_img, cin)
+    y = jnp.dot(pm, w_ref[:], preferred_element_type=jnp.float32)
     o_ref[:] = y.reshape(1, th, w_img, cout).astype(o_ref.dtype)
 
 

@@ -36,8 +36,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .conv_pallas import (_conv_dw, _conv_fwd, _flatten_kernel,
-                          _flip_transpose_kernel, _row_tile)
+from .conv_pallas import (_compiler_params, _conv_dw, _conv_fwd,
+                          _flatten_kernel, _flip_transpose_kernel,
+                          _patches, _row_tile)
 from . import conv_pallas as _cp
 
 __all__ = ["fused_conv_lif", "fused_conv_lif_rec", "fused_lif_available"]
@@ -47,20 +48,26 @@ def _interpret():
     return _cp._INTERPRET
 
 
-def _compiler_params():
-    if _cp._INTERPRET:
-        return {}
-    return {"compiler_params": pltpu.CompilerParams(
-        vmem_limit_bytes=_cp._VMEM_LIMIT)}
-
-
-def fused_lif_available(x_shape, kernel_size, stride):
-    b, h, w, c = x_shape
+def fused_lif_available(x_shape, kernel_size, stride, cout=None, rec=False):
+    """Conservative VMEM-fit gate: both padded images (x and, for the
+    recurrent cell, the previous spikes), the per-strip patch matrices,
+    the flattened weights, and the f32 output strips must fit well inside
+    the kernel's VMEM budget — otherwise report unavailable so the caller
+    falls back to the XLA cells instead of failing Mosaic compilation."""
+    b, h, w, cin = x_shape
     if stride != 1 or kernel_size % 2 == 0 or kernel_size > 5:
         return False
-    p = kernel_size // 2
-    img_bytes = (h + 2 * p) * w * c * 4
-    return h % _row_tile(h) == 0 and img_bytes < 24 * 1024 * 1024
+    if h % _row_tile(h) != 0:
+        return False
+    cout = cin if cout is None else cout
+    k, p = kernel_size, kernel_size // 2
+    th = _row_tile(h)
+    imgs = (h + 2 * p) * w * cin * 4 + (rec * (h + 2 * p) * w * cout * 4)
+    patches = th * w * k * k * (cin + rec * cout) * 4
+    weights = k * k * (cin + rec * cout) * cout * 4
+    strips = 5 * th * w * cout * 4  # v, z in + v, z out + f32 accumulator
+    need = imgs + patches + weights + strips
+    return need < _cp._VMEM_LIMIT // 3
 
 
 def _surrogate(d, activation, width):
@@ -85,38 +92,9 @@ def _surrogate(d, activation, width):
     raise KeyError(activation)
 
 
-def _patches(x_ref, r0, k, th, w_img, cin):
-    """Im2col patch strip [th*W, k*k*C] from the H-padded VMEM image;
-    column halo via static rolls + masks (same scheme as conv_pallas).
-    Mosaic's rotate only handles 32-bit data, so sub-32-bit inputs roll
-    in f32 and the patch matrix is cast back before the MXU dot."""
-    p = k // 2
-    dtype = x_ref.dtype
-    narrow = jnp.dtype(dtype).itemsize < 4
-    out = []
-    for dy in range(k):
-        rows = x_ref[0, pl.ds(r0 + dy, th), :, :]
-        if narrow:
-            rows = rows.astype(jnp.float32)
-        for dx in range(-p, p + 1):
-            if dx == 0:
-                sh = rows
-            else:
-                sh = pltpu.roll(rows, (w_img - dx) % w_img, 1)
-                col = jax.lax.broadcasted_iota(
-                    jnp.int32, (th, w_img, cin), 1)
-                sh = jnp.where(
-                    col >= -dx if dx < 0 else col <= w_img - 1 - dx,
-                    sh, 0.0)
-            out.append(sh)
-    pm = jnp.concatenate(out, axis=-1).reshape(th * w_img, k * k * cin)
-    return pm.astype(dtype) if narrow else pm
-
-
 def _fwd_kernel(x_ref, w_ref, v_ref, z_ref, l_ref, t_ref,
                 vo_ref, zo_ref, *, k, th, w_img, cin, cout,
-                hard_reset, activation, width, rec, zr_ref=None,
-                wr_ref=None):
+                hard_reset, rec, zr_ref=None, wr_ref=None):
     j = pl.program_id(1)
     r0 = j * th
     pm = _patches(x_ref, r0, k, th, w_img, cin)
@@ -165,8 +143,7 @@ def _fused_fwd(x, w2, v, z, leak, thresh, k, hard_reset, activation, width,
     ]
     args = [xp, w2, v, z, leak2, thresh2]
     kern = partial(_fwd_kernel, k=k, th=th, w_img=wd, cin=cin, cout=cout,
-                   hard_reset=hard_reset, activation=activation,
-                   width=width, rec=rec)
+                   hard_reset=hard_reset, rec=rec)
     if rec:
         zrp = jnp.pad(z_rec, ((0, 0), (p, p), (0, 0), (0, 0)))
         in_specs += [img_spec(cout),
@@ -178,8 +155,7 @@ def _fused_fwd(x, w2, v, z, leak, thresh, k, hard_reset, activation, width,
                  vo_ref, zo_ref):
             _fwd_kernel(x_ref, w_ref, v_ref, z_ref, l_ref, t_ref,
                         vo_ref, zo_ref, k=k, th=th, w_img=wd, cin=cin,
-                        cout=cout, hard_reset=hard_reset,
-                        activation=activation, width=width, rec=True,
+                        cout=cout, hard_reset=hard_reset, rec=True,
                         zr_ref=zr_ref, wr_ref=wr_ref)
 
     vo, zo = pl.pallas_call(

@@ -59,6 +59,9 @@ def process_file_shard(files, process_id=None, process_count=None):
 
 
 def _batch_spec(mesh, ndim, axis_name="data"):
+    # rank-0 leaves (scalars like new_seq) replicate; rank>=1 shard batch
+    if ndim == 0:
+        return P()
     return P(axis_name, *([None] * (ndim - 1)))
 
 

@@ -59,22 +59,22 @@ def make_sharded_loss(mesh, cfg: LossConfig, data_axis="data",
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(stack_spec, ev_spec, ev_spec, mask_spec),
+        in_specs=(stack_spec, ev_spec, ev_spec, mask_spec, P()),
         out_specs=P(),
         # psum establishes replication; skip the static checker
         **_CHECK_KW,
     )
-    def _sharded(uv_stack, event_list, pol_mask, event_mask):
+    def _sharded(uv_stack, event_list, pol_mask, event_mask, t_live):
         # flow maps travel as one stacked [S*2, B, T, H, W] array so the
-        # in_specs stay a fixed 4-tuple for any number of scales
+        # in_specs stay a fixed 5-tuple for any number of scales
         flows = [(uv_stack[2 * s], uv_stack[2 * s + 1])
                  for s in range(uv_stack.shape[0] // 2)]
         return event_warping_loss(
-            flows, event_list, pol_mask, event_mask, cfg,
+            flows, event_list, pol_mask, event_mask, cfg, t_live=t_live,
             axes=(data_axis, event_axis),
         )
 
-    def loss_fn(flow_maps, event_list, pol_mask, event_mask):
+    def loss_fn(flow_maps, event_list, pol_mask, event_mask, t_live=None):
         import jax.numpy as jnp
 
         planes = []
@@ -84,6 +84,10 @@ def make_sharded_loss(mesh, cfg: LossConfig, data_axis="data",
             planes += [u, v]
         uv_stack = jnp.stack(planes)
         mask = event_mask[..., 0] if event_mask.ndim == 5 else event_mask
-        return _sharded(uv_stack, event_list, pol_mask, mask)
+        if t_live is None:
+            # traced all-live count is numerically identical to the static
+            # path (max_ts == T, all-ones live mask) and keeps ONE shard_map
+            t_live = jnp.asarray(event_list.shape[1])
+        return _sharded(uv_stack, event_list, pol_mask, mask, t_live)
 
     return loss_fn

@@ -113,6 +113,7 @@ class Trainer:
         self.train_loss = 0.0
         self.best_loss = 1.0e6
         self.updates = 0
+        self.synced_updates = 0
         # in-flight device losses: reading a loss back is a full host sync
         # (~35 ms on a tunneled TPU), so keep up to 2 updates in flight and
         # only sync the one that is surely done — the dispatch pipeline
@@ -227,6 +228,7 @@ class Trainer:
         self._loss_q.append(loss)
         if len(self._loss_q) > 2:
             self.train_loss += float(self._loss_q.pop(0))
+            self.synced_updates += 1
         return loss
 
     def drain_losses(self):
@@ -234,6 +236,13 @@ class Trainer:
         checkpoints, tests)."""
         while self._loss_q:
             self.train_loss += float(self._loss_q.pop(0))
+            self.synced_updates += 1
+
+    def running_mean(self):
+        """Mean loss over the updates whose results have actually landed
+        (``train_loss`` lags ``updates`` by up to 2 in-flight updates —
+        use this for progress displays, not train_loss/updates)."""
+        return self.train_loss / max(self.synced_updates, 1)
 
     def end_epoch(self, stream, epoch):
         """Epoch bookkeeping: mean loss, best checkpoint
@@ -252,6 +261,7 @@ class Trainer:
                 )
         stream.samples = 0
         self.train_loss = 0.0
+        self.synced_updates = 0
         return mean_loss
 
     def save_full_checkpoint(self, stream, epoch, tag="latest"):

@@ -212,6 +212,15 @@ def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
                         t_live):
         b = events.shape[0]
         if not micro_batch or micro_batch >= b or b % micro_batch:
+            if micro_batch and micro_batch < b:
+                import warnings
+
+                warnings.warn(
+                    f"micro_batch={micro_batch} does not divide "
+                    f"batch={b}; gradient accumulation disabled — "
+                    "running the full batch in one backward",
+                    stacklevel=2,
+                )
             return jax.value_and_grad(loss_fn, has_aux=True)(
                 params, model_state, events, valid, aug_flags, t_live
             )

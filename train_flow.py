@@ -83,11 +83,12 @@ def train(args):
         if loss is not None:
             stream.samples += config["loader"]["batch_size"]
             if verbose:
-                denom = stream.samples + 1
+                # running_mean covers the updates whose device results have
+                # landed (the Trainer keeps 2 updates in flight)
                 print(
                     f"Epoch {epoch:04d} [{stream.seq_num:03d}/"
                     f"{len(stream.files):03d}] loss "
-                    f"{trainer.train_loss / denom:.6f}",
+                    f"{trainer.running_mean():.6f}",
                     end="\r",
                 )
             if args.max_updates and trainer.updates >= args.max_updates:
