@@ -159,7 +159,8 @@ def make_sequence_forward(model, res, num_bins, round_encoding=False,
         state_template[0] = model_state_c
         xs = (vox_t, cnt_t, live_t if t_live is not None else None)
         state, flows = jax.lax.scan(
-            scan_body, _pack_state(model_state_c), xs
+            scan_body, _pack_state(model_state_c), xs,
+            unroll=int(os.environ.get("EVFLOW_SCAN_UNROLL", "1")),
         )
         state = _unpack_state(state, model_state_c)
         state = jax.tree_util.tree_map(
