@@ -41,10 +41,14 @@ if _ATTEMPT == 0:
     os.environ.setdefault("EVFLOW_CONV_IMPL", "im2col")
     os.environ.setdefault("EVFLOW_CONV_DTYPE", "bfloat16")
     os.environ.setdefault("EVFLOW_CELL_DTYPE", "bfloat16")
+    # save-named-conv-outputs remat: the saved residuals are bf16, so the
+    # HBM cost undercuts the conv recompute (844 vs 789 w/s measured)
+    os.environ.setdefault("EVFLOW_REMAT", "convs")
 else:
     os.environ["EVFLOW_CONV_IMPL"] = "xla"
     os.environ["EVFLOW_CONV_DTYPE"] = "float32"
     os.environ["EVFLOW_CELL_DTYPE"] = "float32"
+    os.environ["EVFLOW_REMAT"] = "full"
 
 import jax
 import jax.numpy as jnp

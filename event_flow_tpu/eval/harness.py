@@ -62,6 +62,7 @@ class Evaluator:
         self._step = jax.jit(self._window_step)
         self._results = {}
         self._buffers = []
+        self._pending = []  # queued device-array metric records
         self._idx_aee = None  # per-slot cadence counters, sized lazily
 
     # -- jitted per-window step ------------------------------------------
@@ -214,7 +215,7 @@ class Evaluator:
             if "FWL" in self.metrics or "RSAT" in self.metrics:
                 vals = self._compute_fwl_rsat(stacked)
                 for name, arr in vals.items():
-                    self._accumulate(name, np.asarray(arr), filenames)
+                    self._accumulate(name, arr, filenames)
             if self.want_window_vis:
                 # merge accumulated-window renders into the vis dict
                 # (events_window / iwe_window / flow_window)
@@ -237,8 +238,7 @@ class Evaluator:
                         win["event_mask"], jnp.asarray(batch["dt_input"]),
                         jnp.asarray(batch["dt_gt"]),
                     )
-                    self._accumulate("AEE", np.asarray(a), filenames,
-                                     percent=np.asarray(pct),
+                    self._accumulate("AEE", a, filenames, percent=pct,
                                      slot_mask=fire)
                 self._idx_aee[self._idx_aee >= self.aee_every] = 0
             self.reset()
@@ -246,20 +246,35 @@ class Evaluator:
 
     def _accumulate(self, metric, values, filenames, percent=None,
                     slot_mask=None):
-        """Per-file running means (reference: eval_flow.py:183-199)."""
-        for slot, fname in enumerate(filenames):
-            if slot_mask is not None and not slot_mask[slot]:
-                continue
-            entry = self._results.setdefault(fname, {}).setdefault(
-                metric, {"metric": 0.0, "it": 0, "percent": 0.0}
-            )
-            entry["metric"] += float(values[slot])
-            entry["it"] += 1
-            if percent is not None:
-                entry["percent"] += float(percent[slot])
+        """Queue one metric record. Values stay DEVICE arrays — reading
+        one back is a full host sync (~35 ms on a tunneled TPU), so the
+        per-window loop only enqueues and ``results()`` drains everything
+        in one pass; the dispatch pipeline stays full (same pattern as the
+        Trainer's in-flight loss queue)."""
+        self._pending.append((metric, values, list(filenames), percent,
+                              slot_mask))
+
+    def _drain(self):
+        """Sync all queued metric records into the per-file running means
+        (reference: eval_flow.py:183-199)."""
+        for metric, values, filenames, percent, slot_mask in self._pending:
+            values = np.asarray(values)
+            percent = None if percent is None else np.asarray(percent)
+            for slot, fname in enumerate(filenames):
+                if slot_mask is not None and not slot_mask[slot]:
+                    continue
+                entry = self._results.setdefault(fname, {}).setdefault(
+                    metric, {"metric": 0.0, "it": 0, "percent": 0.0}
+                )
+                entry["metric"] += float(values[slot])
+                entry["it"] += 1
+                if percent is not None:
+                    entry["percent"] += float(percent[slot])
+        self._pending = []
 
     def results(self):
         """Per-file averages (reference: eval_flow.py:246-258)."""
+        self._drain()
         out = {}
         for metric in self.metrics:
             out[metric] = {}

@@ -22,6 +22,7 @@ import os
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 __all__ = ["Conv2d", "ConvTranspose2dX2", "torch_conv_kernel_init",
            "set_conv_compute_dtype"]
@@ -188,6 +189,10 @@ class Conv2d(nn.Module):
                 padding=((pad, pad), (pad, pad)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             ).astype(x.dtype)
+        # named for the EVFLOW_REMAT=convs policy (train/step.py): save
+        # the (cheap, compute-dtype) conv outputs across the scan remat,
+        # recompute only the elementwise neuron dynamics in the backward
+        y = checkpoint_name(y, "conv_out")
         if self.use_bias:
             bias = self.param("bias", bias_init, (self.features,))
             y = y + bias.astype(y.dtype)

@@ -6,7 +6,23 @@ import math
 import jax.numpy as jnp
 
 __all__ = ["center_fit", "skip_concat", "skip_sum", "optimal_crop_size",
-           "CropParameters", "get_skip_fn"]
+           "CropParameters", "get_skip_fn", "count_params",
+           "describe_model"]
+
+
+def count_params(params):
+    """Trainable parameter count of a flax params pytree."""
+    import jax
+
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+def describe_model(model, params):
+    """Model summary string with the trainable parameter count — the
+    reference's ``BaseModel.__str__`` (models/base.py:11-31) for the
+    functional world, where params live outside the module."""
+    return (f"{type(model).__name__}\n"
+            f"Trainable parameters: {count_params(params)}")
 
 
 def center_fit(x, h, w):

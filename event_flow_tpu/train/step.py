@@ -86,11 +86,14 @@ def make_sequence_forward(model, res, num_bins, round_encoding=False,
     #   'full' (default) — save only the carry, recompute the whole window
     #   forward in the backward pass (minimum HBM, maximum recompute);
     #   'dots' — save matmul/conv outputs, recompute elementwise only;
+    #   'convs' — save only the named (compute-dtype) conv outputs;
     #   'none' — no remat, XLA saves what it wants.
     # Measured at the b8 recipe (bf16 cells + im2col convs, v5e):
-    # full 125 ms/update < none 148 < dots 155 — the workload is
-    # bandwidth-bound, so trading recompute for saved-intermediate HBM
-    # traffic loses; 'full' stays the default.
+    # convs 117-121 ms/update < full 125 < none 148 < dots 155. 'dots'
+    # loses because XLA saves the f32 dot accumulators; 'convs' saves the
+    # bf16-cast named outputs — half the bytes — and skips the conv
+    # recompute. 'full' stays the library default (dtype-agnostic);
+    # bench.py opts into 'convs' (844 vs 789 w/s end to end).
     import os
 
     remat_mode = os.environ.get("EVFLOW_REMAT", "full")
@@ -123,6 +126,15 @@ def make_sequence_forward(model, res, num_bins, round_encoding=False,
         if remat_mode == "dots":
             body = jax.checkpoint(
                 body, policy=jax.checkpoint_policies.dots_saveable
+            )
+        elif remat_mode == "convs":
+            # save only the named conv outputs (models/conv.py) — in the
+            # compute dtype, so bf16 cells save bf16 residuals — and
+            # recompute just the elementwise dynamics in the backward
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out"),
             )
         else:
             body = jax.checkpoint(body)

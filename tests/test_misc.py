@@ -140,3 +140,27 @@ def test_progress_printer(capsys):
     p.finish()
     out = capsys.readouterr().out
     assert "seq.h5" in out and "Hz" in out
+
+
+def test_describe_model_param_count():
+    """describe_model reports the trainable parameter count (the
+    reference's BaseModel.__str__, models/base.py:11-31)."""
+    import jax
+    import jax.numpy as jnp
+
+    from event_flow_tpu.models.model_util import (count_params,
+                                                  describe_model)
+    from event_flow_tpu.models.registry import get_model
+
+    cfg = {"name": "FireFlowNet", "encoding": "cnt", "num_bins": 2,
+           "base_num_channels": 4, "kernel_size": 3, "mask_output": True,
+           "activations": ["relu", None], "spiking_neuron": None}
+    model = get_model("FireFlowNet", cfg)
+    state = model.zero_state(1, 16, 16)
+    cnt = jnp.zeros((1, 16, 16, 2))
+    params = model.init(jax.random.PRNGKey(0), cnt, cnt, state)
+    n = count_params(params)
+    # 7 stateless convs: head 2->4 + 5x 4->4 + pred 4->2 (+ biases)
+    assert n > 0
+    s = describe_model(model, params)
+    assert "FireNet" in s and str(n) in s

@@ -129,3 +129,18 @@ def test_shard_map_loss_matches_plain_loss():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_s),
                                atol=1e-5)
+
+
+def test_global_batch_replicates_scalar_leaves():
+    """Stream batches carry rank-0 leaves (new_seq bool); global_batch
+    must replicate them instead of building a rank-1 sharding spec
+    (regression: P('data') on a 0-d array raised)."""
+    from event_flow_tpu.parallel.distributed import global_batch
+
+    mesh = make_mesh(4)
+    out = global_batch(mesh, {
+        "events": np.zeros((4, 2, 8, 4), np.float32),
+        "new_seq": np.asarray(True),
+    })
+    assert out["events"].shape == (4, 2, 8, 4)
+    assert bool(out["new_seq"]) is True and out["new_seq"].ndim == 0

@@ -259,3 +259,41 @@ def test_micro_batch_grad_accumulation_identical():
     for a, b in zip(jax.tree_util.tree_leaves(s1.model_state),
                     jax.tree_util.tree_leaves(s2.model_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_remat_policies_numerically_identical():
+    """EVFLOW_REMAT only changes WHAT is saved across the scan remat, not
+    the math: 'convs' (save named conv outputs) and 'none' must produce
+    the same loss and updated params as the default full remat."""
+    import os
+
+    ev, valid, aug = _batch(seed=11)
+    model = get_model("LIFFireNet", MODEL_CFG)
+    tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
+
+    def run(mode):
+        old = os.environ.get("EVFLOW_REMAT")
+        os.environ["EVFLOW_REMAT"] = mode
+        try:
+            step = jax.jit(make_train_step(
+                model, tx, RES, 2,
+                LossConfig(RES, float(max(RES)), 0.001,
+                           smoothing_mask=True)))
+            state = init_train_state(model, tx, jax.random.PRNGKey(0), B,
+                                     RES, 2)
+            state, loss = step(state, ev, valid, aug, jnp.asarray(False))
+            return float(loss), state.params
+        finally:
+            if old is None:
+                os.environ.pop("EVFLOW_REMAT", None)
+            else:
+                os.environ["EVFLOW_REMAT"] = old
+
+    loss_full, p_full = run("full")
+    for mode in ("convs", "none"):
+        loss_m, p_m = run(mode)
+        np.testing.assert_allclose(loss_m, loss_full, rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                        jax.tree_util.tree_leaves(p_m)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)

@@ -48,6 +48,8 @@ def train(args):
         print(f"data parallel over {len(jax.devices())} devices")
 
     trainer = Trainer(config, tracker=tracker, mesh=mesh)
+    from event_flow_tpu.models.model_util import describe_model
+    print(describe_model(trainer.model, trainer.state.params))
     if args.prev_runid:
         trainer.load_params(os.path.join(args.runs_root, args.prev_runid))
         print(f"restored params from {args.prev_runid}")
