@@ -62,8 +62,8 @@ T, N = 10, 1000
 # resilience ladder: the tunnel worker can crash on large compiles; retries
 # re-exec with progressively lighter programs (B, micro_batch, S)
 B, MB, S = {
-    0: (8, 4, 4),
-    1: (8, 4, 2),
+    0: (8, 4, 8),
+    1: (8, 4, 4),
     2: (4, None, 4),
     3: (4, None, 1),
 }.get(_ATTEMPT, (4, None, 1))

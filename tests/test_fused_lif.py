@@ -194,3 +194,50 @@ def test_bf16_inputs_supported():
     assert vo.dtype == jnp.bfloat16 and zo.dtype == jnp.bfloat16
     vr, zr = _ref_cell(x, wk, v, z, leak, thresh, True, "arctanspike", 10.0)
     assert np.abs(np.asarray(vo, np.float32) - np.asarray(vr)).max() < 0.05
+
+
+def test_train_step_under_fused_bf16_cells():
+    """The full jitted train step runs with EVFLOW_CELL_IMPL=pallas and
+    bf16 cell compute together (interpret mode): finite loss, close to
+    the XLA-impl loss."""
+    from event_flow_tpu.data.synthetic import constant_flow_window
+    from event_flow_tpu.loss.warping import LossConfig
+    from event_flow_tpu.models import policy as policy_mod
+    from event_flow_tpu.models.registry import get_model
+    from event_flow_tpu.train.optim import make_optimizer
+    from event_flow_tpu.train.step import init_train_state, make_train_step
+
+    res, b, t, n = (16, 16), 1, 2, 100
+    cfg = {"name": "LIFFireNet", "encoding": "cnt", "num_bins": 2,
+           "base_num_channels": 8, "kernel_size": 3, "mask_output": True,
+           "activations": ["arctanspike", "arctanspike"],
+           "spiking_neuron": {"leak": [-4.0, 0.1], "thresh": [0.8, 0.1],
+                              "learn_leak": True, "learn_thresh": True,
+                              "hard_reset": True}}
+    model = get_model("LIFFireNet", cfg)
+    tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
+    rng = np.random.default_rng(0)
+    ev = jnp.asarray(np.stack([np.stack(
+        [constant_flow_window(rng, n, res, (2.0, -1.0), 8)
+         for _ in range(t)]) for _ in range(b)]))
+    valid, aug = jnp.ones((b, t, n)), jnp.zeros((b, 3))
+
+    def one(impl, dtype):
+        policy_mod.set_cell_impl(impl)
+        policy_mod.set_cell_compute_dtype(dtype)
+        try:
+            step = jax.jit(make_train_step(
+                model, tx, res, 2,
+                LossConfig(res, 16.0, 0.001, smoothing_mask=True)))
+            st = init_train_state(model, tx, jax.random.PRNGKey(0), b,
+                                  res, 2)
+            _, loss = step(st, ev, valid, aug, jnp.asarray(False))
+            return float(loss)
+        finally:
+            policy_mod.set_cell_impl("xla")
+            policy_mod.set_cell_compute_dtype("float32")
+
+    l_ref = one("xla", "float32")
+    l_fused_bf16 = one("pallas", "bfloat16")
+    assert np.isfinite(l_fused_bf16)
+    assert abs(l_fused_bf16 - l_ref) < 0.1 * abs(l_ref) + 1e-3
