@@ -256,10 +256,17 @@ class Evaluator:
 
     def _drain(self):
         """Sync all queued metric records into the per-file running means
-        (reference: eval_flow.py:183-199)."""
-        for metric, values, filenames, percent, slot_mask in self._pending:
-            values = np.asarray(values)
-            percent = None if percent is None else np.asarray(percent)
+        (reference: eval_flow.py:183-199). ONE device_get fetches every
+        queued array together — per-record reads would pay the ~35 ms
+        tunnel round trip each."""
+        if not self._pending:
+            return
+        fetched = jax.device_get(
+            [(v, p) for _, v, _, p, _ in self._pending]
+        )
+        for (metric, _, filenames, _, slot_mask), (values, percent) in zip(
+            self._pending, fetched
+        ):
             for slot, fname in enumerate(filenames):
                 if slot_mask is not None and not slot_mask[slot]:
                     continue

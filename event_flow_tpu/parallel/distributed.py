@@ -65,6 +65,21 @@ def _batch_spec(mesh, ndim, axis_name="data"):
     return P(axis_name, *([None] * (ndim - 1)))
 
 
+def _agree_scalar(x):
+    """Per-process scalars (e.g. a process-local ``new_seq`` flag) cannot
+    be marked replicated while their values differ across processes —
+    XLA is free to read any replica. Reduce with max (logical OR for
+    flags) so every process holds the same, global value: a rollover on
+    ANY process resets everyone, which is the reference's global-reset
+    semantics (train_flow.py:100-105) generalized to multi-host."""
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    gathered = np.asarray(multihost_utils.process_allgather(x))
+    return np.asarray(gathered.max(), dtype=x.dtype)
+
+
 def global_batch(mesh, tree, axis_name="data"):
     """Host-local batch pytree -> global jax.Arrays sharded on ``axis_name``.
 
@@ -76,6 +91,8 @@ def global_batch(mesh, tree, axis_name="data"):
     def one(x):
         x = np.asarray(x)
         sharding = NamedSharding(mesh, _batch_spec(mesh, x.ndim, axis_name))
+        if x.ndim == 0:
+            return jax.device_put(_agree_scalar(x), sharding)
         if jax.process_count() == 1:
             return jax.device_put(x, sharding)
         return jax.make_array_from_process_local_data(sharding, x)

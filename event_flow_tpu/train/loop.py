@@ -239,10 +239,13 @@ class Trainer:
             self.synced_updates += 1
 
     def running_mean(self):
-        """Mean loss over the updates whose results have actually landed
-        (``train_loss`` lags ``updates`` by up to 2 in-flight updates —
-        use this for progress displays, not train_loss/updates)."""
-        return self.train_loss / max(self.synced_updates, 1)
+        """Progress-display loss over the updates whose results have
+        actually landed (``train_loss`` lags ``updates`` by up to 2
+        in-flight updates). Uses the SAME normalization as the epoch-end
+        mean (train_loss / (samples + 1), reference train_flow.py:108
+        with samples counting batch elements) so the two displays agree
+        in scale."""
+        return self.train_loss / (self.synced_updates * self.batch_size + 1)
 
     def end_epoch(self, stream, epoch):
         """Epoch bookkeeping: mean loss, best checkpoint
