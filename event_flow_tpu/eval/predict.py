@@ -13,7 +13,6 @@ eval loop (reference: eval_flow.py:119-152) without metrics machinery.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.policy import cell_compute_dtype
 from ..ops.encodings import encode_window

@@ -20,7 +20,6 @@ from flax import linen as nn
 
 from .cells import (
     ConvLayer,
-    ConvLSTM,
     LeakyResidualBlock,
     LeakyRecurrentConvLayer,
     LeakyTransposedConvLayer,

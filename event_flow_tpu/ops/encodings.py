@@ -16,7 +16,6 @@ Conventions:
   - images are NHWC (TPU-native), i.e. [B, H, W, C].
 """
 
-import jax
 import jax.numpy as jnp
 
 from .scatter import scatter_add

@@ -16,7 +16,7 @@ caller; sequence rollovers reset per-slot state via ``reset`` masks
 (reference: base.py:55-58).
 """
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

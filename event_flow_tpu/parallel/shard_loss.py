@@ -21,7 +21,6 @@ workload — so the only cross-device traffic is the image reduction.
 
 from functools import partial
 
-import jax
 from jax.sharding import PartitionSpec as P
 
 try:
