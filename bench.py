@@ -1,21 +1,30 @@
-"""Benchmark: full training-update throughput of the flagship SNN.
+"""Benchmark: full training-update throughput of the flagship models.
 
 Workload = the reference's training recipe (configs/train_SNN.yml):
-LIFFireNet (32 base channels), batch 8, 128x128, window = 1000 events,
-loss window = 10 windows -> one optimizer update per 80 event-windows.
-One jitted dispatch covers S chained updates, each with on-device
-encodings, 10-window lax.scan BPTT, contrast-max loss, gradients, clip,
-Adam (train/step.py::make_train_step_multi).
+batch 8, 128x128, window = 1000 events, loss window = 10 windows -> one
+optimizer update per 80 event-windows. One jitted dispatch covers S
+chained updates, each with on-device encodings, 10-window lax.scan BPTT,
+contrast-max loss, gradients, clip, Adam
+(train/step.py::make_train_step_multi).
+
+Reported models:
+  - LIFFireNet (the paper's headline SNN)           -> headline metric
+  - RecEVFlowNet (the UNet-family headline)         -> extra key
+  - SpikingRecEVFlowNet (spiking UNet)              -> extra key
 
 Performance notes (measured, TPU v5e behind the axon tunnel):
   - the host<->device dispatch round trip is ~35 ms and
     ``block_until_ready`` under-reports (async enqueue); the bench chains
-    S updates per dispatch and syncs with a host read of the losses
+    S updates per dispatch, syncs with a host read of the losses, and
+    separately measures the round trip with a trivial dispatch so it can
+    report device-only time
   - XLA's BPTT backward anti-scales with batch (2.55 ms/window at b8 vs
     1.60 at b4); ``micro_batch=4`` gradient accumulation restores the b4
     per-window rate with identical update semantics (loss sums over batch)
 
-Metric: event-windows/sec (higher is better).
+Metric: event-windows/sec (higher is better). Extra keys report
+device-only ms/update, the XLA-counted FLOPs per update, and MFU against
+the v5e bf16 peak (~197 TFLOPS) — see STATUS.md for the roofline context.
 
 Baseline: the ACTUAL reference implementation (PyTorch, /root/reference)
 measured on this host's CPU with the identical workload: 376.3 s/update
@@ -23,7 +32,7 @@ measured on this host's CPU with the identical workload: 376.3 s/update
 hardware is a single CUDA GPU, reference README.md:131). The BASELINE.json
 north-star target is >10x the reference on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -56,6 +65,9 @@ import numpy as np
 
 # torch-CPU reference throughput measured on this host (see module docstring)
 BASELINE_WINDOWS_PER_SEC = 0.2126
+# TPU v5e bf16 peak (MXU); the MFU denominator. The compute here is mixed
+# bf16-operand/f32-accumulate, so this is the honest (conservative) peak.
+PEAK_FLOPS_BF16 = 197e12
 
 RES = (128, 128)
 T, N = 10, 1000
@@ -68,16 +80,16 @@ B, MB, S = {
     3: (4, None, 1),
 }.get(_ATTEMPT, (4, None, 1))
 
+SNN_NEURON = {
+    "leak": [-4.0, 0.1],
+    "thresh": [0.8, 0.1],
+    "learn_leak": True,
+    "learn_thresh": True,
+    "hard_reset": True,
+}
 
-def main():
-    from event_flow_tpu.data.synthetic import constant_flow_window
-    from event_flow_tpu.loss.warping import LossConfig
-    from event_flow_tpu.models.registry import get_model
-    from event_flow_tpu.train.optim import make_optimizer
-    from event_flow_tpu.train.step import (init_train_state, make_train_step,
-                                           make_train_step_multi)
-
-    model_cfg = {
+MODEL_CFGS = {
+    "LIFFireNet": {
         "name": "LIFFireNet",
         "encoding": "cnt",
         "num_bins": 2,
@@ -85,15 +97,69 @@ def main():
         "kernel_size": 3,
         "mask_output": True,
         "activations": ["arctanspike", "arctanspike"],
-        "spiking_neuron": {
-            "leak": [-4.0, 0.1],
-            "thresh": [0.8, 0.1],
-            "learn_leak": True,
-            "learn_thresh": True,
-            "hard_reset": True,
-        },
-    }
-    model = get_model("LIFFireNet", model_cfg)
+        "spiking_neuron": SNN_NEURON,
+    },
+    # reference train_ANN.yml recipe (RecEVFlowNet block)
+    "RecEVFlowNet": {
+        "name": "RecEVFlowNet",
+        "encoding": "cnt",
+        "num_bins": 2,
+        "base_num_channels": 32,
+        "kernel_size": 3,
+        "mask_output": True,
+        "activations": ["relu", None],
+    },
+    "SpikingRecEVFlowNet": {
+        "name": "SpikingRecEVFlowNet",
+        "encoding": "cnt",
+        "num_bins": 2,
+        "base_num_channels": 32,
+        "kernel_size": 3,
+        "mask_output": True,
+        "activations": ["arctanspike", "arctanspike"],
+        "spiking_neuron": SNN_NEURON,
+    },
+}
+
+
+def _measure_rtt_s():
+    """Host<->device round trip of a trivial dispatch + host read."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    float(f(x))  # compile
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(x))
+        samples.append(time.perf_counter() - t0)
+    return float(np.median(samples))
+
+
+def _cost_flops(compiled):
+    """XLA's own FLOP count for the compiled program (fwd+bwd+optimizer);
+    None if the backend doesn't expose cost analysis."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def bench_model(model_name, rtt_s):
+    """Time S-chained full training updates of ``model_name`` at the b8
+    recipe; returns windows/s plus device-only timing and MFU."""
+    from event_flow_tpu.data.synthetic import constant_flow_window
+    from event_flow_tpu.loss.warping import LossConfig
+    from event_flow_tpu.models.registry import get_model
+    from event_flow_tpu.train.optim import make_optimizer
+    from event_flow_tpu.train.step import (init_train_state, make_train_step,
+                                           make_train_step_multi)
+
+    model_cfg = MODEL_CFGS[model_name]
+    model = get_model(model_name, model_cfg)
     tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
     loss_cfg = LossConfig(RES, float(max(RES)), 0.001, smoothing_mask=True)
     state = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
@@ -108,57 +174,100 @@ def main():
         ])
 
     if S > 1:
-        step = jax.jit(make_train_step_multi(
+        jitted = jax.jit(make_train_step_multi(
             model, tx, RES, 2, loss_cfg, micro_batch=MB))
-        ev = jnp.asarray(np.stack([one_update() for _ in range(S)]))
-        valid = jnp.ones((S, B, T, N))
-        aug = jnp.zeros((S, B, 3))
-        resets = jnp.zeros((S,), bool)
-
-        def run(st):
-            st, losses = step(st, ev, valid, aug, resets)
-            float(losses[-1])
-            return st
+        args0 = (jnp.asarray(np.stack([one_update() for _ in range(S)])),
+                 jnp.ones((S, B, T, N)), jnp.zeros((S, B, 3)),
+                 jnp.zeros((S,), bool))
+        last = lambda losses: losses[-1]
     else:
-        step = jax.jit(make_train_step(
+        jitted = jax.jit(make_train_step(
             model, tx, RES, 2, loss_cfg, micro_batch=MB))
-        ev = jnp.asarray(one_update())
-        valid = jnp.ones((B, T, N))
-        aug = jnp.zeros((B, 3))
-        reset = jnp.asarray(False)
+        args0 = (jnp.asarray(one_update()), jnp.ones((B, T, N)),
+                 jnp.zeros((B, 3)), jnp.asarray(False))
+        last = lambda loss: loss
 
-        def run(st):
-            st, loss = step(st, ev, valid, aug, reset)
-            float(loss)
-            return st
+    # AOT compile once: the executable both runs the bench and exposes
+    # XLA's cost analysis (FLOP count) without a second compile
+    step = jitted.lower(state, *args0).compile()
+    flops_total = _cost_flops(step)
 
-    # warmup/compile; host read per dispatch is the only reliable sync on
+    def run(st):
+        st, losses = step(st, *args0)
+        float(last(losses))
+        return st
+
+    # warmup; host read per dispatch is the only reliable sync on
     # the axon tunnel (block_until_ready under-reports)
     state = run(state)
 
-    iters = max(1, 16 // S)
+    # several timed dispatches so the median is robust to tunnel jitter
+    iters = max(4, 16 // S)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         state = run(state)
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times)) / S  # per update
+    dispatch_s = float(np.median(times))
+    dt = dispatch_s / S  # per update, host-inclusive
 
-    windows_per_sec = B * T / dt
+    # device-only estimate: one dispatch pays one tunnel round trip for
+    # S chained updates; everything else is device execution
+    device_dt = max(dispatch_s - rtt_s, 1e-9) / S
+
+    flops_per_update = flops_total / S if flops_total else None
+    mfu = (flops_per_update / device_dt / PEAK_FLOPS_BF16
+           if flops_per_update else None)
+
+    return {
+        "windows_per_sec": B * T / dt,
+        "ms_per_update": dt * 1e3,
+        "device_ms_per_update": device_dt * 1e3,
+        "flops_per_update": flops_per_update,
+        "mfu": mfu,
+    }
+
+
+def main():
+    rtt_s = _measure_rtt_s()
+    flagship = bench_model("LIFFireNet", rtt_s)
+
     cfg_tag = f"b{B}" + (f" mb{MB}" if MB else "") + f" S{S}"
-    print(
-        json.dumps(
-            {
-                "metric": "train_event_windows_per_sec",
-                "value": round(windows_per_sec, 2),
-                "unit": f"event-windows/s (LIFFireNet {cfg_tag} 128x128 "
-                        "w1000, full update)",
-                "vs_baseline": round(
-                    windows_per_sec / BASELINE_WINDOWS_PER_SEC, 1
-                ),
-            }
-        )
-    )
+    result = {
+        "metric": "train_event_windows_per_sec",
+        "value": round(flagship["windows_per_sec"], 2),
+        "unit": f"event-windows/s (LIFFireNet {cfg_tag} 128x128 "
+                "w1000, full update)",
+        "vs_baseline": round(
+            flagship["windows_per_sec"] / BASELINE_WINDOWS_PER_SEC, 1
+        ),
+        "tunnel_rtt_ms": round(rtt_s * 1e3, 2),
+        "device_ms_per_update": round(flagship["device_ms_per_update"], 2),
+        "mfu": round(flagship["mfu"], 4) if flagship["mfu"] else None,
+        "flops_per_update": flagship["flops_per_update"],
+    }
+
+    # UNet-family entries (VERDICT r2 #1); failures degrade to omission so
+    # a worker crash mid-extra-bench can't take down the headline number
+    if _ATTEMPT == 0 and os.environ.get("EVFLOW_BENCH_UNET", "1") != "0":
+        for name, key in (("RecEVFlowNet", "recevflownet"),
+                          ("SpikingRecEVFlowNet", "spikingrecevflownet")):
+            try:
+                r = bench_model(name, rtt_s)
+                result[f"{key}_windows_per_sec"] = round(
+                    r["windows_per_sec"], 2)
+                result[f"{key}_device_ms_per_update"] = round(
+                    r["device_ms_per_update"], 2)
+                if r["mfu"]:
+                    result[f"{key}_mfu"] = round(r["mfu"], 4)
+            except Exception as e:  # noqa: BLE001 — degraded worker
+                import sys
+
+                print(f"# {name} bench failed: {type(e).__name__}",
+                      file=sys.stderr, flush=True)
+                break
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

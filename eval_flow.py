@@ -33,7 +33,10 @@ def test(args):
     parser = YAMLConfig(args.config)
     config = parser.config
 
-    # merge the stored training run's params under the eval config
+    # merge the ENTIRE stored training config under the eval config
+    # (reference: configs/parser.py:98-115 — stored run params are the
+    # base, the eval YAML wins on conflicts; this is how non-model train
+    # settings like loss.overwrite_intermediate survive into eval)
     run_dir = os.path.join(args.runs_root, args.runid)
     try:
         stored = Tracker(
@@ -43,10 +46,8 @@ def test(args):
         # no local training run (e.g. --torch_weights against released
         # reference weights): the eval config must carry the model block
         stored = {}
-    for key in ("model",):
-        merged = dict(stored.get(key, {}))
-        merged.update(config.get(key, {}))
-        config[key] = merged
+    if stored:
+        config = parser.merge_configs(stored)
 
     # asserts (reference: eval_flow.py:53-72)
     metrics = config.get("metrics", {}).get("name", [])

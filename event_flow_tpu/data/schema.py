@@ -42,12 +42,16 @@ def write_h5_sequence(path, xs, ys, ts, ps, frames=None, flow_dt1=None,
 
 def write_synthetic_sequence(path, res=(32, 32), n_events=8000, duration=1.0,
                              velocity=(2.0, 4.0), seed=0, gt_flow_hz=None,
-                             t0=10.0):
+                             t0=10.0, gt_flow_dt4_interval=None):
     """Constant-velocity synthetic sequence in the reference schema.
 
     velocity is (vy, vx) px/second. When ``gt_flow_hz`` is set, writes
     flow_dt1 maps (constant GT displacement per frame interval) so
     gtflow_dt1 / AEE evaluation paths can run end-to-end.
+    ``gt_flow_dt4_interval`` (seconds) additionally writes flow_dt4 maps —
+    one every interval, displacement = velocity * interval (the MVSEC
+    dt4 layout the reference's gtflow_dt4 mode reads,
+    dataloader/h5.py:163-168).
     """
     from .synthetic import constant_flow_window
 
@@ -71,5 +75,15 @@ def write_synthetic_sequence(path, res=(32, 32), n_events=8000, duration=1.0,
         fm[1] = velocity[0] * dt
         flow_dt1 = [(t0 + i * dt, fm) for i in range(n_maps)]
 
-    write_h5_sequence(path, xs, ys, ts, ps, flow_dt1=flow_dt1)
+    flow_dt4 = None
+    if gt_flow_dt4_interval:
+        dt4 = float(gt_flow_dt4_interval)
+        n_maps = int(duration / dt4) + 1
+        fm4 = np.zeros((2, h, w), np.float32)
+        fm4[0] = velocity[1] * dt4
+        fm4[1] = velocity[0] * dt4
+        flow_dt4 = [(t0 + i * dt4, fm4) for i in range(n_maps)]
+
+    write_h5_sequence(path, xs, ys, ts, ps, flow_dt1=flow_dt1,
+                      flow_dt4=flow_dt4)
     return path

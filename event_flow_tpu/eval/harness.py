@@ -9,6 +9,17 @@ per-event flow gather from the highest-resolution prediction
 buffers and invokes the jitted metric kernels, mirroring the reference's
 ``num_events >= window_eval`` gate (eval_flow.py:165) and the AEE cadence
 of every round(1/window) windows (eval_flow.py:170-180).
+
+Steady-state latency: each dispatch through the tunneled TPU costs ~35 ms
+regardless of size, so the per-window protocol pays one model dispatch +
+one metric dispatch per window. When no visualization output is requested
+the harness switches to a CHUNKED fast path: a ``lax.scan`` over S
+consecutive windows runs model + metric association + FWL/RSAT/AEE in ONE
+jitted dispatch (metrics vectorized over the S/K metric groups inside the
+graph), cutting steady state to ~(35/S + device) ms per window. Protocol
+semantics are unchanged — chunks flush at sequence boundaries, partial
+metric groups are dropped exactly like the per-window path (and the
+reference, which only fires at full ``window_eval``).
 """
 
 from functools import partial
@@ -59,16 +70,36 @@ class Evaluator:
              or config.get("vis", {}).get("store"))
             and self.k_windows > 1
         )
-        self._step = jax.jit(self._window_step)
+        self._step = jax.jit(partial(self._window_step, with_iwe=True))
         self._results = {}
         self._buffers = []
         self._pending = []  # queued device-array metric records
         self._idx_aee = None  # per-slot cadence counters, sized lazily
 
+        # chunked fast path: S = L*K windows per dispatch; only when no
+        # per-window host output (vis/activity) is consumed
+        import os
+
+        chunk_groups = int(os.environ.get("EVFLOW_EVAL_CHUNK", "-1"))
+        if chunk_groups < 0:
+            chunk_groups = max(1, 8 // self.k_windows)
+        self.chunked = (
+            chunk_groups > 1
+            and not self.want_window_vis
+            and not self.log_activity
+            and not config.get("vis", {}).get("enabled")
+            and not config.get("vis", {}).get("store")
+        )
+        self.chunk_windows = chunk_groups * self.k_windows
+        self._chunk = []  # buffered host windows awaiting one dispatch
+        self._chunk_state = None  # (model_state, hot_state) at chunk start
+        self._chunk_reset = False
+        self._chunk_step_jit = jax.jit(self._chunk_step)
+
     # -- jitted per-window step ------------------------------------------
 
     def _window_step(self, params, model_state, hot_state, events, valid,
-                     aug, reset):
+                     aug, reset, with_iwe=False):
         events = augment_events(events, aug, self.res)
         enc = encode_window(
             events, self.res, self.num_bins, valid=valid,
@@ -91,21 +122,24 @@ class Evaluator:
         )
         flow_last = out["flow"][-1]  # [B, H, W, 2] highest resolution
         event_flow = gather_event_flow(flow_last, enc["event_list"], self.res)
-        iwe = compute_pol_iwe(
-            flow_last, enc["event_list"], self.res,
-            enc["pol_mask"][..., 0:1], enc["pol_mask"][..., 1:2],
-            flow_scaling=self.flow_scaling, round_idx=True,
-        )
-        return model_state, hot_state, {
+        win = {
             "event_list": enc["event_list"],
             "pol_mask": enc["pol_mask"],
             "event_mask": enc["event_mask"],
             "event_flow": event_flow,
             "flow_last": flow_last,
-            "iwe": iwe,
             "event_cnt": enc["event_cnt"],
             "activity": out["activity"],
         }
+        if with_iwe:
+            # display-only render (reference: eval_flow.py:144-152) — the
+            # chunked fast path skips it
+            win["iwe"] = compute_pol_iwe(
+                flow_last, enc["event_list"], self.res,
+                enc["pol_mask"][..., 0:1], enc["pol_mask"][..., 1:2],
+                flow_scaling=self.flow_scaling, round_idx=True,
+            )
+        return model_state, hot_state, win
 
     # -- jitted metric kernels -------------------------------------------
 
@@ -121,26 +155,110 @@ class Evaluator:
                                   self.flow_scaling)
         return out
 
+    def _group_metrics(self, ev, flow, pol, last_map=None):
+        """FWL/RSAT for ONE accumulated K-window group (vmapped over the
+        chunk's groups inside ``_chunk_step``)."""
+        ev_off, fl, pl = self._flatten_group(ev, flow, pol, last_map)
+        out = {}
+        if "FWL" in self.metrics:
+            out["FWL"] = fwl_fn(ev_off, fl, self.k_windows, self.res,
+                                self.flow_scaling)
+        if "RSAT" in self.metrics:
+            out["RSAT"] = rsat_fn(ev_off, fl, pl, self.k_windows, self.res,
+                                  self.flow_scaling)
+        return out
+
+    def _chunk_step(self, params, model_state, hot_state, events, valid,
+                    aug, resets, live, gtflow=None, dt_input=None,
+                    dt_gt=None):
+        """ONE dispatch for S windows: scan the model over the window axis,
+        then compute every complete metric group in-graph.
+
+        events [S,B,N,4]; valid [S,B,N]; aug [B,3] (constant within a
+        chunk — augmentation only re-draws at sequence changes, which
+        flush); resets [S,B]; live [S] (0 = padding window: state frozen,
+        metrics masked host-side). AEE extras are [S,B,...].
+        """
+        need_flow = self.overwrite_intermediate or "AEE" in self.metrics
+
+        def body(carry, xs):
+            ms, hs = carry
+            ev, va, rs, lv = xs
+            ms2, hs2, win = self._window_step(params, ms, hs, ev, va, aug,
+                                              rs)
+            keep = lambda old, new: jnp.where(lv > 0, new, old)
+            ms = jax.tree_util.tree_map(keep, ms, ms2)
+            hs = jax.tree_util.tree_map(keep, hs, hs2)
+            outs = {k: win[k]
+                    for k in ("event_list", "pol_mask", "event_flow")}
+            if need_flow:
+                outs["flow_last"] = win["flow_last"]
+            if "AEE" in self.metrics:
+                outs["event_mask"] = win["event_mask"]
+            return (ms, hs), outs
+
+        (model_state, hot_state), outs = jax.lax.scan(
+            body, (model_state, hot_state), (events, valid, resets, live)
+        )
+        s, k = events.shape[0], self.k_windows
+        res = {}
+        if "FWL" in self.metrics or "RSAT" in self.metrics:
+            n_groups = s // k
+            grp = lambda a: a.reshape(
+                n_groups, k, *a.shape[1:]
+            ).swapaxes(1, 2)  # [L,B,K,...]
+            ev_g = grp(outs["event_list"])
+            fl_g = grp(outs["event_flow"])
+            pl_g = grp(outs["pol_mask"])
+            if self.overwrite_intermediate:
+                last = outs["flow_last"].reshape(
+                    n_groups, k, *outs["flow_last"].shape[1:]
+                )[:, -1]
+                vals = jax.vmap(self._group_metrics)(ev_g, fl_g, pl_g, last)
+            else:
+                vals = jax.vmap(
+                    lambda e, f, p: self._group_metrics(e, f, p)
+                )(ev_g, fl_g, pl_g)
+            res.update(vals)  # each [L, B]
+        if "AEE" in self.metrics and gtflow is not None:
+            a, pct = jax.vmap(
+                lambda f, g, m, di, dg: aee_fn(
+                    f, g, m, di, dg, self.flow_scaling
+                )
+            )(outs["flow_last"], gtflow, outs["event_mask"], dt_input,
+              dt_gt)
+            res["AEE"] = a  # [S, B]
+            res["AEE_percent"] = pct
+        return model_state, hot_state, res
+
     def _flatten_windows(self, stacked):
-        """[K][B,N,...] buffers -> accumulated arrays with per-pass ts
-        offsets (loss/flow.py:368). With ``loss.overwrite_intermediate``
-        every event's flow is re-gathered from the LAST window's flow map
-        (loss/flow.py:398-418)."""
+        """[K][B,N,...] buffers -> accumulated arrays (list front-end of
+        ``_flatten_group``)."""
         ev = jnp.stack(stacked["event_list"], axis=1)  # [B,K,N,4]
+        flow = jnp.stack(stacked["event_flow"], axis=1)
+        pol = jnp.stack(stacked["pol_mask"], axis=1)
+        last_map = (
+            stacked["flow_last"][-1] if self.overwrite_intermediate else None
+        )
+        return self._flatten_group(ev, flow, pol, last_map)
+
+    def _flatten_group(self, ev, flow, pol, last_map=None):
+        """Accumulate K windows into flat event arrays with per-pass ts
+        offsets (loss/flow.py:368). ev [B,K,N,4]; flow [B,K,N,2]; pol
+        [B,K,N,2]. With ``loss.overwrite_intermediate`` every event's flow
+        is re-gathered from the LAST window's flow map ``last_map``
+        (loss/flow.py:398-418)."""
         b, k, n, _ = ev.shape
         ts = ev[..., 0] + jnp.arange(k, dtype=ev.dtype)[None, :, None]
         ev_off = jnp.concatenate([ts[..., None], ev[..., 1:]], axis=-1)
         ev_off = ev_off.reshape(b, k * n, 4)
         if self.overwrite_intermediate:
-            last_map = stacked["flow_last"][-1]
             flow = gather_event_flow(
                 last_map, ev.reshape(b, k * n, 4), self.res
             )
         else:
-            flow = jnp.stack(stacked["event_flow"], axis=1).reshape(
-                b, k * n, 2
-            )
-        pol = jnp.stack(stacked["pol_mask"], axis=1).reshape(b, k * n, 2)
+            flow = flow.reshape(b, k * n, 2)
+        pol = pol.reshape(b, k * n, 2)
         return ev_off, flow, pol
 
     # -- window visualization helpers (reference: loss/flow.py:432-465,
@@ -190,6 +308,10 @@ class Evaluator:
     def process_batch(self, stream, params, model_state, hot_state, batch):
         """Consume one stream batch; returns (model_state, hot_state,
         vis dict or None). Accumulates metrics into per-file results."""
+        if self.chunked:
+            return self._process_batch_chunked(
+                stream, params, model_state, hot_state, batch
+            )
         b = len(batch["events"])
         reset = jnp.full((b,), 1.0 if batch["new_seq"] else 0.0)
         if batch["new_seq"]:
@@ -244,15 +366,98 @@ class Evaluator:
             self.reset()
         return model_state, hot_state, vis
 
+    def _process_batch_chunked(self, stream, params, model_state, hot_state,
+                               batch):
+        """Buffer one window; dispatch when the chunk fills or flushes at a
+        sequence boundary. Returns the state as of the LAST flush (exact:
+        nothing downstream consumes per-window state in chunked mode)."""
+        if self._chunk_state is None:
+            self._chunk_state = (model_state, hot_state)
+        self._params_cur = params
+        if batch["new_seq"]:
+            self._flush_chunk(params)
+            self._chunk_reset = True
+        b = len(batch["events"])
+        rec = {
+            "events": np.asarray(batch["events"]),
+            "valid": np.asarray(batch["valid"]),
+            "aug": np.asarray(batch["aug_flags"]),
+            "reset": np.full((b,), 1.0 if self._chunk_reset else 0.0,
+                             np.float32),
+            "filenames": [stream.slot_filename(s) for s in range(b)],
+        }
+        self._chunk_reset = False
+        if "AEE" in self.metrics and "gtflow" in batch:
+            rec["gtflow"] = np.asarray(batch["gtflow"])
+            rec["dt_input"] = np.asarray(batch["dt_input"])
+            rec["dt_gt"] = np.asarray(batch["dt_gt"])
+        self._chunk.append(rec)
+        if len(self._chunk) >= self.chunk_windows:
+            self._flush_chunk(params)
+        ms, hs = self._chunk_state
+        return ms, hs, None
+
+    def _flush_chunk(self, params):
+        """One jitted dispatch over the buffered windows (padded to the
+        static chunk size); queue the resulting metric groups."""
+        if not self._chunk:
+            return
+        s = self.chunk_windows
+        chunk, self._chunk = self._chunk, []
+        n_live = len(chunk)
+
+        def stack(key):
+            a = np.stack([c[key] for c in chunk])
+            if n_live < s:
+                pad = np.zeros((s - n_live, *a.shape[1:]), a.dtype)
+                a = np.concatenate([a, pad])
+            return jnp.asarray(a)
+
+        live = np.zeros(s, np.float32)
+        live[:n_live] = 1.0
+        args = [stack("events"), stack("valid"),
+                jnp.asarray(chunk[0]["aug"]), stack("reset"),
+                jnp.asarray(live)]
+        has_gt = "gtflow" in chunk[0]
+        if "AEE" in self.metrics and has_gt:
+            args += [stack("gtflow"), stack("dt_input"), stack("dt_gt")]
+        ms, hs = self._chunk_state
+        ms, hs, res = self._chunk_step_jit(params, ms, hs, *args)
+        self._chunk_state = (ms, hs)
+
+        k = self.k_windows
+        for name in ("FWL", "RSAT"):
+            if name not in res:
+                continue
+            for g in range(s // k):
+                if g * k + k > n_live:
+                    break  # partial trailing group: dropped (as reference)
+                self._accumulate(name, res[name],
+                                 chunk[g * k]["filenames"], row=g)
+        if "AEE" in res:
+            b = len(chunk[0]["filenames"])
+            if self._idx_aee is None:
+                self._idx_aee = np.zeros(b, np.int64)
+            for w in range(n_live):
+                ok = chunk[w].get("dt_gt", np.zeros(b)) > 0.0
+                self._idx_aee += ok
+                fire = ok & (self._idx_aee >= self.aee_every)
+                if fire.any():
+                    self._accumulate("AEE", res["AEE"],
+                                     chunk[w]["filenames"],
+                                     percent=res["AEE_percent"],
+                                     slot_mask=fire, row=w)
+                self._idx_aee[self._idx_aee >= self.aee_every] = 0
+
     def _accumulate(self, metric, values, filenames, percent=None,
-                    slot_mask=None):
+                    slot_mask=None, row=None):
         """Queue one metric record. Values stay DEVICE arrays — reading
         one back is a full host sync (~35 ms on a tunneled TPU), so the
         per-window loop only enqueues and ``results()`` drains everything
         in one pass; the dispatch pipeline stays full (same pattern as the
         Trainer's in-flight loss queue)."""
         self._pending.append((metric, values, list(filenames), percent,
-                              slot_mask))
+                              slot_mask, row))
 
     def _drain(self):
         """Sync all queued metric records into the per-file running means
@@ -262,11 +467,18 @@ class Evaluator:
         if not self._pending:
             return
         fetched = jax.device_get(
-            [(v, p) for _, v, _, p, _ in self._pending]
+            [(v, p) for _, v, _, p, _, _ in self._pending]
         )
-        for (metric, _, filenames, _, slot_mask), (values, percent) in zip(
+        for (metric, _, filenames, _, slot_mask, row), (values, percent) in zip(
             self._pending, fetched
         ):
+            if row is not None:
+                # chunked records queue the whole [L,B] array; slice the
+                # group row AFTER the batched fetch (numpy — a device-side
+                # slice would cost a dispatch per group)
+                values = values[row]
+                if percent is not None:
+                    percent = percent[row]
             for slot, fname in enumerate(filenames):
                 if slot_mask is not None and not slot_mask[slot]:
                     continue
@@ -281,6 +493,8 @@ class Evaluator:
 
     def results(self):
         """Per-file averages (reference: eval_flow.py:246-258)."""
+        if self.chunked and self._chunk:
+            self._flush_chunk(getattr(self, "_params_cur", self.params))
         self._drain()
         out = {}
         for metric in self.metrics:

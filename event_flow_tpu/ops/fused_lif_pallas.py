@@ -203,6 +203,12 @@ def _bwd_kernel(v_ref, z_ref, vo_ref, l_ref, t_ref, gv_ref, gz_ref,
     cur_scaled = (v_out - v * leak * (1.0 - z)) if hard_reset else (
         v_out - v * leak + z * thr)            # == (1-l)*cur
     g_cur = vbar * one_m_l
+    # Recovering cur divides by (1-l); with a learnable leak sigmoid(param)
+    # rounds to exactly 1.0 in f32 once the raw param exceeds ~17, which
+    # would make the leak gradient Inf/NaN. Clamp the divisor: as l -> 1 the
+    # true d v'/d l contribution of cur is bounded (cur*(1-l) stays finite),
+    # so a floored divisor only saturates an already-degenerate gradient.
+    one_m_l = jnp.maximum(one_m_l, 1e-6)
     if hard_reset:
         g_vin = vbar * leak * (1.0 - z)
         # d v'/d l = v*(1-z) - cur ; vbar * that, with cur recovered

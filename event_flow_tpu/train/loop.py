@@ -41,7 +41,7 @@ def _donate_argnums():
 
 
 class Trainer:
-    def __init__(self, config, tracker: Tracker = None, mesh=None):
+    def __init__(self, config, tracker: Tracker = None, mesh=None, vis=None):
         self.config = config
         self.res = tuple(config["loader"]["resolution"])
         self.num_bins = config["model"]["num_bins"]
@@ -80,11 +80,19 @@ class Trainer:
         self.loss_cfg = loss_cfg
         store_grads = config.get("vis", {}).get("store_grads", False)
         self.store_grads = store_grads
+        # training-time visualization (reference: train_flow.py:64,164-177
+        # — live rendering of input events + predicted flow, batch 1 only)
+        self.vis = vis
+        self.vis_every = max(1, int(config.get("vis", {})
+                                    .get("train_every", 1)))
+        self.with_vis = bool(vis is not None and mesh is None
+                             and self.batch_size == 1)
         step = make_train_step(
             self.model, self.tx, self.res, self.num_bins, loss_cfg,
             round_encoding=config["model"].get("round_encoding", False),
             with_grad_stats=store_grads,
             micro_batch=config["loader"].get("micro_batch"),
+            with_vis=self.with_vis,
         )
         self.state = init_train_state(
             self.model, self.tx, jax.random.PRNGKey(
@@ -167,8 +175,15 @@ class Trainer:
         return int(restored.get("epoch", 0))
 
     def feed(self, batch):
-        """Feed one stream batch; returns the loss when an update fired,
-        else None.
+        """Feed one stream batch; returns the loss as a LAZY device array
+        when an update fired, else None.
+
+        The return is deliberately NOT a Python float: converting it
+        (``float(loss)``) forces a host sync that costs a full ~35 ms
+        tunnel round trip per update — exactly what the 2-deep in-flight
+        loss queue exists to hide. Callers that need host values should
+        read ``running_mean()`` (lagged, sync-free) or call
+        ``drain_losses()`` at epoch/checkpoint boundaries.
 
         Update cadence matches the reference's accumulated-event gate
         (train_flow.py:141): in ``events`` mode that is exactly
@@ -211,6 +226,9 @@ class Trainer:
         else:
             out = self.step(self.state, ev, va, aug, reset,
                             jnp.asarray(t_live))
+        vis_arrays = None
+        if self.with_vis:
+            out, vis_arrays = out[:-1], out[-1]
         if self.store_grads:
             self.state, loss, (stats, gnorm) = out
         else:
@@ -225,6 +243,18 @@ class Trainer:
                 for name, v in _flatten_stats(stats)
             ]
             self.tracker.save_csv(rows, "grads_w.csv")
+        if vis_arrays is not None and self.updates % self.vis_every == 0:
+            # host render, off the device hot path (the np.asarray sync
+            # costs one tunnel round trip every ``vis_every`` updates);
+            # reference renders input events + masked flow per update
+            # (train_flow.py:164-177)
+            flow_vis = np.asarray(vis_arrays["flow"])
+            if getattr(self.model, "mask_output", False):
+                flow_vis = flow_vis * np.asarray(vis_arrays["event_mask"])
+            vis_batch = {"event_cnt": np.asarray(vis_arrays["event_cnt"])}
+            self.vis.update(vis_batch, flow_vis, None)
+            if self.config.get("vis", {}).get("store"):
+                self.vis.store("train", vis_batch, flow_vis, None)
         self._loss_q.append(loss)
         if len(self._loss_q) > 2:
             self.train_loss += float(self._loss_q.pop(0))

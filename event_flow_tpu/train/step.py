@@ -63,9 +63,11 @@ def _unpack_state(tree, template):
 
 
 def make_sequence_forward(model, res, num_bins, round_encoding=False,
-                          remat=True, augment=True):
+                          remat=True, augment=True, with_cnt=False):
     """Build f(params, model_state, events, valid, aug_flags[, t_live]) ->
-    (new_state, flows_per_scale [B,T,H,W,2], event_list, pol_mask, event_mask).
+    (new_state, flows_per_scale [B,T,H,W,2], event_list, pol_mask, event_mask)
+    (+ the channels-first [B,T,2,H,W] count images when ``with_cnt`` — for
+    training-time visualization).
 
     events: [B, T, N, 4] raw windows (ts any scale, y, x, p in {-1,+1});
     valid: [B, T, N] mask; aug_flags: [B, 3].
@@ -182,15 +184,18 @@ def make_sequence_forward(model, res, num_bins, round_encoding=False,
         flows = tuple(
             (jnp.moveaxis(u, 0, 1), jnp.moveaxis(v, 0, 1)) for u, v in flows
         )
-        return (state, flows, enc["event_list"], enc["pol_mask"],
-                enc["event_mask"])
+        out = (state, flows, enc["event_list"], enc["pol_mask"],
+               enc["event_mask"])
+        if with_cnt:
+            out += (enc["event_cnt"],)
+        return out
 
     return sequence_forward
 
 
 def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
                     round_encoding=False, remat=True, augment=True,
-                    with_grad_stats=False, micro_batch=None):
+                    with_grad_stats=False, micro_batch=None, with_vis=False):
     """Build the jittable train step.
 
     step(state: TrainState, events [B,T,N,4], valid [B,T,N],
@@ -198,6 +203,12 @@ def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
     With ``with_grad_stats``, returns (TrainState, loss, stats) where stats
     is a pytree of per-tensor (mean|g|, min|g|, max|g|) plus the global
     norm — the reference's gradient-health CSVs (utils/gradients.py:4-11).
+
+    ``with_vis``: additionally return a display dict — the last live
+    window's flow map [B,H,W,2] (x, y), count image [B,H,W,2] and event
+    mask [B,H,W,1] — for training-time visualization
+    (reference: train_flow.py:164-177 ``vis.update``). Return becomes
+    (state, loss, vis) / (state, loss, (stats, gnorm), vis).
 
     ``micro_batch``: process the batch in sequential chunks of this size,
     accumulating gradients, then apply ONE optimizer update. Numerically
@@ -210,16 +221,36 @@ def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
     """
     seq_fwd = make_sequence_forward(
         model, res, num_bins, round_encoding=round_encoding, remat=remat,
-        augment=augment,
+        augment=augment, with_cnt=with_vis,
     )
 
+    def _last_live(x, t_live):
+        """Index the last LIVE window on axis 1 ([B, T, ...])."""
+        if t_live is None:
+            return x[:, -1]
+        idx = jnp.clip(t_live - 1, 0, x.shape[1] - 1)
+        return jax.lax.dynamic_index_in_dim(x, idx, axis=1, keepdims=False)
+
     def loss_fn(params, model_state, events, valid, aug_flags, t_live):
-        new_state, flows, ev_list, pol, mask = seq_fwd(
+        out = seq_fwd(
             params, model_state, events, valid, aug_flags, t_live=t_live
         )
+        new_state, flows, ev_list, pol, mask = out[:5]
         loss = event_warping_loss(list(flows), ev_list, pol, mask, loss_cfg,
                                   t_live=t_live)
-        return loss, new_state
+        if not with_vis:
+            return loss, (new_state, None)
+        u, v = flows[-1]
+        m = mask[..., 0] if mask.ndim == 5 else mask
+        vis = {
+            # (x, y) component order like the reference flow maps
+            "flow": jnp.stack([_last_live(u, t_live),
+                               _last_live(v, t_live)], axis=-1),
+            "event_cnt": jnp.moveaxis(
+                _last_live(out[5], t_live), 1, -1),  # [B,2,H,W] -> NHWC
+            "event_mask": _last_live(m, t_live)[..., None],
+        }
+        return loss, (new_state, jax.lax.stop_gradient(vis))
 
     def _value_and_grad(params, model_state, events, valid, aug_flags,
                         t_live):
@@ -252,14 +283,14 @@ def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
         def body(carry, xs):
             loss_acc, grads_acc = carry
             ms, ev, va, ag = xs
-            (loss, new_ms), grads = jax.value_and_grad(
+            (loss, (new_ms, vis)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params, ms, ev, va, ag, t_live)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            return (loss_acc + loss, grads_acc), new_ms
+            return (loss_acc + loss, grads_acc), (new_ms, vis)
 
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
-        (loss, grads), new_ms = jax.lax.scan(
+        (loss, grads), (new_ms, vis) = jax.lax.scan(
             body, (0.0, zero_grads),
             (chunk(model_state), chunk(events), chunk(valid),
              chunk(aug_flags)),
@@ -269,7 +300,12 @@ def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
             if getattr(t, "ndim", 0) >= 1 and t.shape[0] == b else x[0],
             new_ms, model_state,
         )
-        return (loss, new_model_state), grads
+        if vis is not None:
+            # [k, micro_batch, ...] vis leaves -> [b, ...]
+            vis = jax.tree_util.tree_map(
+                lambda x: x.reshape(b, *x.shape[2:]), vis
+            )
+        return (loss, (new_model_state, vis)), grads
 
     def train_step(state: TrainState, events, valid, aug_flags, reset,
                    t_live=None):
@@ -278,7 +314,7 @@ def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
             lambda s: jnp.where(reset, jnp.zeros_like(s), s),
             state.model_state,
         )
-        (loss, new_model_state), grads = _value_and_grad(
+        (loss, (new_model_state, vis)), grads = _value_and_grad(
             state.params, model_state, events, valid, aug_flags, t_live)
         updates, new_opt_state = optimizer.update(
             grads, state.opt_state, state.params
@@ -287,6 +323,7 @@ def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
         # truncated BPTT boundary (train_flow.py:170)
         new_model_state = jax.lax.stop_gradient(new_model_state)
         new_state = TrainState(new_params, new_opt_state, new_model_state)
+        out = (new_state, loss)
         if with_grad_stats:
             stats = jax.tree_util.tree_map(
                 lambda g: jnp.stack(
@@ -294,9 +331,10 @@ def make_train_step(model, optimizer, res, num_bins, loss_cfg: LossConfig,
                 ),
                 grads,
             )
-            gnorm = optax.global_norm(grads)
-            return new_state, loss, (stats, gnorm)
-        return new_state, loss
+            out += ((stats, optax.global_norm(grads)),)
+        if with_vis:
+            out += (vis,)
+        return out
 
     return train_step
 
@@ -315,6 +353,7 @@ def make_train_step_multi(model, optimizer, res, num_bins,
     once.
     """
     assert "with_grad_stats" not in kwargs or not kwargs["with_grad_stats"]
+    assert "with_vis" not in kwargs or not kwargs["with_vis"]
     step = make_train_step(model, optimizer, res, num_bins, loss_cfg,
                            **kwargs)
 

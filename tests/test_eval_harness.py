@@ -128,3 +128,53 @@ def test_results_keyed_per_file(dataset):
     stream.close()
     assert set(results["FWL"]) <= {"seq0.h5", "seq1.h5"}
     assert len(results["FWL"]) >= 1
+
+
+class DecayFlowModel(ConstFlowModel):
+    """Stateful stub: flow shrinks with a carried per-window counter, so
+    chunked/per-window state handling differences change the metrics."""
+
+    def zero_state(self, b, h, w, dtype=jnp.float32):
+        return (jnp.zeros((b, 1, 1, 1), dtype),)
+
+    def apply(self, params, voxel, cnt, state, log=False):
+        (n,) = state
+        b, h, w, _ = cnt.shape
+        decay = 1.0 / (1.0 + n)
+        fm = jnp.zeros((b, h, w, 2))
+        fm = fm.at[..., 0].set(self.fx * decay[:, 0, 0, 0, None, None])
+        fm = fm.at[..., 1].set(self.fy * decay[:, 0, 0, 0, None, None])
+        return {"flow": [fm], "activity": None}, (n + 1.0,)
+
+
+@pytest.mark.parametrize("mode,window,metrics", [
+    ("events", 1000, ("FWL", "RSAT")),
+    ("gtflow_dt1", 1, ("AEE",)),
+])
+def test_chunked_matches_per_window(dataset, mode, window, metrics):
+    """The chunked fast path (one dispatch per S windows) reproduces the
+    per-window protocol exactly — including recurrent state carry across
+    chunk boundaries and sequence-change flushes."""
+    window_eval = 2000 if mode == "events" else None
+    results = {}
+    for tag, chunk in (("chunked", "4"), ("plain", "1")):
+        import os
+
+        os.environ["EVFLOW_EVAL_CHUNK"] = chunk
+        try:
+            cfg = _config(dataset, mode, window, window_eval=window_eval,
+                          metrics=metrics)
+            ev = Evaluator(cfg, model := DecayFlowModel(0.4, 0.2),
+                           params={})
+            assert ev.chunked == (chunk == "4")
+            stream = EventStream(cfg)
+            results[tag] = ev.run(stream)
+            stream.close()
+        finally:
+            del os.environ["EVFLOW_EVAL_CHUNK"]
+    for metric in results["plain"]:
+        assert set(results["chunked"][metric]) == set(results["plain"][metric])
+        for fname, val in results["plain"][metric].items():
+            assert results["chunked"][metric][fname] == pytest.approx(
+                val, rel=1e-5, abs=1e-6
+            ), (metric, fname)

@@ -78,6 +78,26 @@ MODEL_BLOCK = {
     "spiking_neuron": None,
 }
 
+# stateful SNN flagship (configs/train_SNN.yml recipe, smaller channels)
+LIF_BLOCK = {
+    **MODEL_BLOCK,
+    "name": "LIFFireNet",
+    "activations": ["arctanspike", "arctanspike"],
+    "spiking_neuron": {
+        "leak": [-4.0, 0.1],
+        "thresh": [0.8, 0.1],
+        "learn_leak": True,
+        "learn_thresh": True,
+        "hard_reset": True,
+    },
+}
+
+# multi-scale UNet headline (configs/train_ANN.yml RecEVFlowNet recipe)
+REC_BLOCK = {
+    **MODEL_BLOCK,
+    "name": "RecEVFlowNet",
+}
+
 
 def _write_dataset(tmp_path, res=(48, 48), gt_flow_hz=None):
     from event_flow_tpu.data.schema import write_synthetic_sequence
@@ -92,11 +112,12 @@ def _write_dataset(tmp_path, res=(48, 48), gt_flow_hz=None):
     return str(ddir) + "/"
 
 
-def _make_config(data_path, mode, window, window_eval, metrics, res):
+def _make_config(data_path, mode, window, window_eval, metrics, res,
+                 block=MODEL_BLOCK):
     return {
         "data": {"path": data_path, "mode": mode, "window": window,
                  "window_eval": window_eval},
-        "model": dict(MODEL_BLOCK),
+        "model": dict(block),
         "metrics": {"name": list(metrics), "flow_scaling": max(res)},
         "loss": {"overwrite_intermediate": False, "flow_regul_weight": 0.001,
                  "clip_grad": None},
@@ -109,15 +130,15 @@ def _make_config(data_path, mode, window, window_eval, metrics, res):
     }
 
 
-def _ref_model(seed=0):
+def _ref_model(seed=0, block=MODEL_BLOCK):
     import models.model as ref_models
 
-    cls = ref_models.FireNet
+    cls = getattr(ref_models, block["name"])
     for klass in cls.__mro__:
         if "kwargs" in vars(klass):
             klass.kwargs = [{} for _ in klass.kwargs]
     torch.manual_seed(seed)
-    m = cls(dict(MODEL_BLOCK))
+    m = cls(dict(block))
     m.eval()
     return m
 
@@ -266,5 +287,59 @@ def test_gtflow_aee_protocol_parity(tmp_path):
     model = _ref_model(seed=4)
     ref_results = run_reference_eval(config, model)
     our_results = run_ours(config, tmp_path, model, "gtflow")
+    assert ref_results["AEE"], "reference produced no AEE windows"
+    _assert_tables_close(ref_results, our_results)
+
+
+def test_stateful_snn_protocol_parity(tmp_path):
+    """LIFFireNet (the paper's headline SNN): the recurrent membrane /
+    spike state carries across EVERY window of a sequence, so any state
+    divergence compounds into the metric tables."""
+    res = (48, 48)
+    data_path = _write_dataset(tmp_path, res=res)
+    config = _make_config(data_path, "events", 2000, 6000,
+                          ["FWL", "RSAT"], res, block=LIF_BLOCK)
+    model = _ref_model(seed=5, block=LIF_BLOCK)
+    ref_results = run_reference_eval(config, model)
+    our_results = run_ours(config, tmp_path, model, "lif")
+    assert ref_results["FWL"], "reference produced no FWL windows"
+    _assert_tables_close(ref_results, our_results)
+
+
+def test_multiscale_unet_protocol_parity(tmp_path):
+    """RecEVFlowNet (the UNet-family headline): multi-scale flow list +
+    ConvGRU encoder state; eval consumes the highest-resolution scale
+    (reference: loss/flow.py:350)."""
+    res = (48, 48)
+    data_path = _write_dataset(tmp_path, res=res)
+    config = _make_config(data_path, "events", 2000, 6000,
+                          ["FWL", "RSAT"], res, block=REC_BLOCK)
+    model = _ref_model(seed=6, block=REC_BLOCK)
+    ref_results = run_reference_eval(config, model)
+    our_results = run_ours(config, tmp_path, model, "rec")
+    assert ref_results["FWL"], "reference produced no FWL windows"
+    _assert_tables_close(ref_results, our_results)
+
+
+def test_gtflow_dt4_fractional_window_parity(tmp_path):
+    """gtflow_dt4 with window=0.25: fractional event windows between
+    interpolated map-index points (reference: dataloader/h5.py:208-223)
+    and the AEE cadence of every round(1/window)=4 windows
+    (reference: eval_flow.py:170-180)."""
+    res = (48, 48)
+    from event_flow_tpu.data.schema import write_synthetic_sequence
+
+    ddir = tmp_path / "data"
+    ddir.mkdir()
+    for i, vel in enumerate([(3.0, 5.0), (-4.0, 2.0)]):
+        write_synthetic_sequence(
+            str(ddir / f"seq{i}.h5"), res=res, n_events=30000, duration=1.0,
+            velocity=vel, seed=21 + i, gt_flow_dt4_interval=0.2,
+        )
+    config = _make_config(str(ddir) + "/", "gtflow_dt4", 0.25, 0.25,
+                          ["AEE"], res)
+    model = _ref_model(seed=7)
+    ref_results = run_reference_eval(config, model)
+    our_results = run_ours(config, tmp_path, model, "dt4")
     assert ref_results["AEE"], "reference produced no AEE windows"
     _assert_tables_close(ref_results, our_results)

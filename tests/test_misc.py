@@ -34,6 +34,44 @@ def test_config_defaults_and_merge(tmp_path):
     assert merged["model"]["name"] == "LIFFireNet"  # config overrides stored
 
 
+def test_eval_run_param_merge_full_config(tmp_path):
+    """The FULL stored train config merges under the eval config
+    (reference: configs/parser.py:98-115): nested non-model keys like
+    loss.overwrite_intermediate survive into eval, while keys the eval
+    YAML sets (data.window) win over the stored values."""
+    from event_flow_tpu.config.parser import YAMLConfig
+
+    eval_yml = tmp_path / "eval.yml"
+    yaml.safe_dump(
+        {"data": {"mode": "events", "window": 15000},
+         "metrics": {"name": ["FWL"], "flow_scaling": 128}},
+        open(eval_yml, "w"),
+    )
+    # a stored training config as Tracker.log_params writes it (nested,
+    # post-combine): carries a loss block no eval YAML ever sets
+    stored = {
+        "model": {"name": "LIFFireNet", "num_bins": 2,
+                  "spiking_neuron": {"leak": [-4.0, 0.1]}},
+        "loss": {"flow_regul_weight": 0.001, "overwrite_intermediate": True},
+        "data": {"mode": "events", "window": 1000},
+        "loader": {"batch_size": 8, "resolution": [128, 128]},
+    }
+    yc = YAMLConfig(str(eval_yml))
+    merged = yc.merge_configs(stored)
+    # nested non-model train keys survive
+    assert merged["loss"]["overwrite_intermediate"] is True
+    assert merged["loss"]["flow_regul_weight"] == 0.001
+    # model block (incl. re-nested spiking_neuron) comes from the run
+    assert merged["model"]["name"] == "LIFFireNet"
+    assert merged["model"]["spiking_neuron"]["leak"] == [-4.0, 0.1]
+    # eval YAML wins on conflicts
+    assert merged["data"]["window"] == 15000
+    assert merged["metrics"]["name"] == ["FWL"]
+    # eval defaults win over stored loader values (reference behavior:
+    # the eval-side config, defaults included, overlays the run params)
+    assert merged["loader"]["batch_size"] == 1
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from event_flow_tpu.utils.checkpoint import (
         restore_checkpoint,

@@ -89,3 +89,63 @@ def test_prefetch_is_consistent(dataset):
     ts = [e[0] for e in first_events]
     assert any(t2 > t1 for t1, t2 in zip(ts, ts[1:]))
     assert len(set(first_events)) == len(first_events)
+
+
+@pytest.fixture(scope="module")
+def dataset_gt(tmp_path_factory):
+    root = tmp_path_factory.mktemp("native_gt")
+    for i in range(2):
+        write_synthetic_sequence(
+            str(root / f"seq{i}.h5"), res=RES, n_events=8000, duration=1.0,
+            velocity=(2.0, 4.0), seed=10 + i, t0=1.0 + i, gt_flow_hz=8,
+            gt_flow_dt4_interval=0.25,
+        )
+    return str(root)
+
+
+def _mode_config(dataset, mode, window, batch_size=2, max_events=4096):
+    cfg = default_config()
+    merge_dicts(
+        {
+            "data": {"path": dataset, "mode": mode, "window": window,
+                     "max_events": max_events},
+            "loader": {
+                "resolution": list(RES),
+                "batch_size": batch_size,
+                "augment": [],
+                "seed": 0,
+            },
+        },
+        cfg,
+    )
+    return cfg
+
+
+@pytest.mark.parametrize("mode,window", [
+    ("time", 0.05),
+    ("gtflow_dt1", 1),
+    ("gtflow_dt4", 0.25),  # fractional windows (reference h5.py:208-223)
+])
+def test_variable_modes_match_python_stream(dataset_gt, mode, window):
+    """time / gtflow window modes: the native loader's event windows,
+    validity masks, gt maps, and dt_gt match the Python stream exactly."""
+    cfg = _mode_config(dataset_gt, mode, window)
+    py = EventStream(cfg)
+    nat = NativeEventStream(cfg)
+    for step in range(10):
+        pb = py.next_batch()
+        nb = nat.next_batch()
+        assert pb["new_seq"] == nb["new_seq"], (mode, step)
+        np.testing.assert_array_equal(
+            nb["valid"], pb["valid"], err_msg=f"{mode} step {step}"
+        )
+        np.testing.assert_allclose(
+            nb["events"], pb["events"], rtol=1e-5, atol=1e-5,
+            err_msg=f"{mode} step {step}",
+        )
+        np.testing.assert_allclose(nb["dt_input"], pb["dt_input"], rtol=1e-4)
+        if mode.startswith("gtflow"):
+            np.testing.assert_allclose(nb["gtflow"], pb["gtflow"])
+            np.testing.assert_allclose(nb["dt_gt"], pb["dt_gt"], rtol=1e-6)
+    py.close()
+    nat.close()

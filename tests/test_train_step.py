@@ -297,3 +297,48 @@ def test_remat_policies_numerically_identical():
                         jax.tree_util.tree_leaves(p_m)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-6)
+
+
+def test_training_vis_artifacts(tmp_path):
+    """--vis training: the step returns the last window's flow/cnt/mask and
+    the Trainer renders + stores PNG artifacts (reference:
+    train_flow.py:64,164-177)."""
+    from event_flow_tpu.train.loop import Trainer
+    from event_flow_tpu.utils.visualization import Visualization
+    from event_flow_tpu.data.synthetic import synthetic_window_stream
+
+    res = (32, 32)
+    config = {
+        "data": {"mode": "events", "window": 200, "window_loss": 400},
+        "model": {"name": "FireFlowNet", "encoding": "cnt",
+                  "round_encoding": False, "norm_input": False,
+                  "num_bins": 2, "base_num_channels": 8, "kernel_size": 3,
+                  "activations": ["relu", None], "mask_output": True,
+                  "spiking_neuron": None},
+        "loss": {"flow_regul_weight": 0.001, "clip_grad": 100.0,
+                 "overwrite_intermediate": False},
+        "optimizer": {"name": "Adam", "lr": 2e-4},
+        "loader": {"batch_size": 1, "resolution": list(res), "augment": [],
+                   "seed": 0},
+        "vis": {"enabled": True, "store": True, "train_every": 1,
+                "bars": False},
+        "hot_filter": {"enabled": False},
+    }
+    vis = Visualization(config, eval_id=-1, path_results=str(tmp_path),
+                        show=False)
+    trainer = Trainer(config, vis=vis)
+    gen = synthetic_window_stream(0, 1, 200, res, 1)
+    fired = 0
+    for _ in range(6):
+        ev = next(gen)[:, 0]
+        batch = {"events": ev, "valid": np.ones(ev.shape[:2], np.float32),
+                 "aug_flags": np.zeros((1, 3), np.float32),
+                 "new_seq": False}
+        if trainer.feed(batch) is not None:
+            fired += 1
+    assert fired >= 2
+    import glob
+    events_pngs = glob.glob(str(tmp_path / "vis" / "train" / "events" / "*"))
+    flow_pngs = glob.glob(str(tmp_path / "vis" / "train" / "flow" / "*"))
+    assert len(events_pngs) == fired
+    assert len(flow_pngs) == fired

@@ -160,9 +160,17 @@ def state_dict_to_params(state_dict, target_params, strict=True,
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def load_torch_state_dict(path):
+def load_torch_state_dict(path, allow_pickle=True):
     """Load a state_dict from a raw file, a pickled model, or an MLflow
-    run/artifact directory (reference layout, utils/utils.py:8-25)."""
+    run/artifact directory (reference layout, utils/utils.py:8-25).
+
+    ``allow_pickle`` gates the fallback to ``weights_only=False`` needed
+    for the reference's whole-model MLflow pickles — full pickle load
+    executes arbitrary code from the file, so a warning is emitted and
+    ``--no-pickle`` disables it for untrusted checkpoints."""
+    import pickle
+    import warnings
+
     import torch
 
     if os.path.isdir(path):
@@ -185,7 +193,17 @@ def load_torch_state_dict(path):
         sys.path.append("/root/reference")
     try:
         obj = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except (pickle.UnpicklingError, RuntimeError, AttributeError):
+        # weights_only=True rejects whole-model pickles (the reference's
+        # mlflow.pytorch.log_model layout); other exceptions propagate.
+        if not allow_pickle:
+            raise
+        warnings.warn(
+            f"{path} is not a weights-only checkpoint; retrying with full "
+            "pickle load (executes code from the file — pass "
+            "allow_pickle=False / --no-pickle to forbid)",
+            stacklevel=2,
+        )
         obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
@@ -195,7 +213,7 @@ def load_torch_state_dict(path):
 
 
 def import_torch_checkpoint(path, model_name, model_cfg, res=(128, 128),
-                            strict=True):
+                            strict=True, allow_pickle=True):
     """checkpoint file/dir -> flax params for ``model_name``."""
     import jax
     import jax.numpy as jnp
@@ -208,7 +226,7 @@ def import_torch_checkpoint(path, model_name, model_cfg, res=(128, 128),
     voxel = jnp.zeros((1, h, w, int(model_cfg.get("num_bins", 2))))
     cnt = jnp.zeros((1, h, w, 2))
     target = model.init(jax.random.PRNGKey(0), voxel, cnt, state)
-    sd = load_torch_state_dict(path)
+    sd = load_torch_state_dict(path, allow_pickle=allow_pickle)
     return state_dict_to_params(sd, target, strict=strict)
 
 
@@ -221,6 +239,8 @@ def main():
     ap.add_argument("--out", default=None,
                     help="run dir to write checkpoints/best into")
     ap.add_argument("--print-map", action="store_true")
+    ap.add_argument("--no-pickle", action="store_true",
+                    help="refuse the full-pickle fallback (untrusted files)")
     args = ap.parse_args()
 
     from event_flow_tpu.config.parser import YAMLConfig
@@ -233,7 +253,8 @@ def main():
     name = model_cfg.get("name")
     assert name, "give --model or a --config with a model.name"
 
-    params = import_torch_checkpoint(args.checkpoint, name, model_cfg)
+    params = import_torch_checkpoint(args.checkpoint, name, model_cfg,
+                                     allow_pickle=not args.no_pickle)
     n = sum(np.asarray(v).size
             for v in __import__("jax").tree_util.tree_leaves(params))
     print(f"imported {name}: {n} parameters")

@@ -47,7 +47,17 @@ def train(args):
         mesh = make_mesh(len(jax.devices()))
         print(f"data parallel over {len(jax.devices())} devices")
 
-    trainer = Trainer(config, tracker=tracker, mesh=mesh)
+    # training-time visualization (reference: train_flow.py:63-64,176)
+    vis = None
+    if getattr(args, "vis", False):
+        config.setdefault("vis", {})["enabled"] = True
+        config["vis"].setdefault("store", True)  # headless: keep artifacts
+    if config.get("vis", {}).get("enabled"):
+        from event_flow_tpu.utils.visualization import Visualization
+
+        vis = Visualization(config, eval_id=-1, path_results=tracker.dir)
+
+    trainer = Trainer(config, tracker=tracker, mesh=mesh, vis=vis)
     from event_flow_tpu.models.model_util import describe_model
     print(describe_model(trainer.model, trainer.state.params))
     if args.prev_runid:
@@ -161,6 +171,10 @@ if __name__ == "__main__":
                     help="resume a run exactly (params+optimizer+cursor)")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace into the run dir")
+    ap.add_argument("--vis", action="store_true",
+                    help="render input events + predicted flow during "
+                         "training (live if DISPLAY, else PNG store tree "
+                         "in the run dir)")
     ap.add_argument("--max_updates", type=int, default=0)
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all visible devices")
