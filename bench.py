@@ -59,6 +59,11 @@ else:
     os.environ["EVFLOW_CELL_DTYPE"] = "float32"
     os.environ["EVFLOW_REMAT"] = "full"
 
+# persistent XLA compile cache: repeat invocations (or retries after a
+# worker crash) reload executables instead of re-running the heavy compile
+# that destabilizes the tunnel worker
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -135,15 +140,15 @@ def _measure_rtt_s():
     return float(np.median(samples))
 
 
-def _cost_flops(compiled):
-    """XLA's own FLOP count for the compiled program (fwd+bwd+optimizer);
-    None if the backend doesn't expose cost analysis."""
+def _step_flops(step_fn, *args):
+    """MXU FLOPs of one update, counted from the jaxpr (scan bodies are
+    multiplied by trip count — XLA's compiled.cost_analysis() counts a
+    while body ONCE, undercounting the 10-window scan BPTT ~100x). Traced
+    abstractly: no device execution. See utils/flops.py."""
     try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        return flops if flops > 0 else None
+        from event_flow_tpu.utils.flops import flops_of_fn
+
+        return float(flops_of_fn(step_fn, *args))
     except Exception:
         return None
 
@@ -187,10 +192,8 @@ def bench_model(model_name, rtt_s):
                  jnp.zeros((B, 3)), jnp.asarray(False))
         last = lambda loss: loss
 
-    # AOT compile once: the executable both runs the bench and exposes
-    # XLA's cost analysis (FLOP count) without a second compile
     step = jitted.lower(state, *args0).compile()
-    flops_total = _cost_flops(step)
+    flops_total = _step_flops(jitted, state, *args0)
 
     def run(st):
         st, losses = step(st, *args0)

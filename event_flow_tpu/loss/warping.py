@@ -35,6 +35,7 @@ of the x- and y-component differences, sqrt((du+dv)^2+eps)
 (flow.py:273-277) — this is what trained the released models.
 """
 
+import os
 from dataclasses import dataclass
 from typing import Optional, Sequence, Tuple
 
@@ -42,8 +43,28 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.iwe import get_interpolation_compact_cf, interpolate_compact_cf
+from ..ops.iwe_matmul import bilinear_splat_cf, gather_planes_cf
 
 __all__ = ["LossConfig", "event_warping_loss"]
+
+# IWE accumulation backend for the training loss:
+#   'scatter' — compact channelled scatter-add (ops/iwe.py + ops/scatter.py)
+#   'matmul'  — factorized row/col matmul splat (ops/iwe_matmul.py); the
+#               TPU fast path: no scatter in forward OR backward
+#   'auto'    — matmul on TPU, scatter elsewhere
+_IWE_IMPL = os.environ.get("EVFLOW_IWE_IMPL", "auto")
+
+
+def set_iwe_impl(name):
+    global _IWE_IMPL
+    assert name in ("scatter", "matmul", "auto"), name
+    _IWE_IMPL = name
+
+
+def _iwe_impl():
+    if _IWE_IMPL != "auto":
+        return _IWE_IMPL
+    return "matmul" if jax.default_backend() == "tpu" else "scatter"
 
 
 @dataclass(frozen=True)
@@ -83,6 +104,13 @@ def _per_event_flows(u, v, lin, overwrite, t_live=None):
             last_v = jnp.take_along_axis(vf, idx, axis=1)
         uf = jnp.broadcast_to(last_u, uf.shape)
         vf = jnp.broadcast_to(last_v, vf.shape)
+    if _iwe_impl() == "matmul":
+        # channel-stacked gather with a matmul (scatter-free) transpose
+        n = lin.shape[-1]
+        uv = jnp.stack([uf, vf], axis=2).reshape(b * t, 2, h * w)
+        g = gather_planes_cf(uv, lin.reshape(b * t, n), (h, w))
+        g = g.reshape(b, t, 2, n)
+        return g[:, :, 1], g[:, :, 0]
     fx = jnp.take_along_axis(uf, lin, axis=2)
     fy = jnp.take_along_axis(vf, lin, axis=2)
     return fy, fx
@@ -99,17 +127,22 @@ def _ts_image_loss(ts, ys, xs, fy, fx, pos, neg, backward, max_ts,
     ``psum`` over the event mesh axis — the one collective of the loss."""
     res = cfg.resolution
     tref = 0.0 if backward else max_ts
-    idx, w4 = get_interpolation_compact_cf(
-        ts, ys, xs, fy, fx, tref, res, cfg.flow_scaling
-    )  # [B, M], [B, 4, M]
     # forward warp accumulates ts, backward accumulates (max_ts - ts)
     # (flow.py:206-211 vs :239-244)
     ts_w = (max_ts - ts) if backward else ts
     payload = jnp.stack([pos, neg, ts_w * pos, ts_w * neg], axis=1)  # [B,4,M]
-    stack = (w4[:, :, None, :] * payload[:, None, :, :]).reshape(
-        payload.shape[0], 16, payload.shape[-1]
-    )
-    img = interpolate_compact_cf(idx, stack, res, 4)  # [B, 4, H, W]
+    if _iwe_impl() == "matmul":
+        wy = ys + (tref - ts) * fy * cfg.flow_scaling
+        wx = xs + (tref - ts) * fx * cfg.flow_scaling
+        img = bilinear_splat_cf(wy, wx, payload, res)  # [B, 4, H, W]
+    else:
+        idx, w4 = get_interpolation_compact_cf(
+            ts, ys, xs, fy, fx, tref, res, cfg.flow_scaling
+        )  # [B, M], [B, 4, M]
+        stack = (w4[:, :, None, :] * payload[:, None, :, :]).reshape(
+            payload.shape[0], 16, payload.shape[-1]
+        )
+        img = interpolate_compact_cf(idx, stack, res, 4)  # [B, 4, H, W]
     if event_axis is not None:
         img = jax.lax.psum(img, event_axis)
     iwe = img[:, 0:2]

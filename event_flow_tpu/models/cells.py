@@ -240,30 +240,63 @@ class ConvLSTM(nn.Module):
         return (jnp.zeros(s, dtype), jnp.zeros(s, dtype))
 
 
+class _ConvGateParams(nn.Module):
+    """Parameter-only stand-in for a Conv2d gate: creates the identical
+    {kernel, bias} tree (same names, shapes, initializers — so checkpoints
+    and torch imports interchange) but returns the parameters instead of
+    computing, letting the owner fuse several same-input gates into one
+    conv call."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, cin):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.orthogonal(column_axis=-1),
+            (k, k, cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class ConvGRU(nn.Module):
     """3-gate convolutional GRU, orthogonal init + zero bias
-    (reference: submodules.py:377-418)."""
+    (reference: submodules.py:377-418).
+
+    The update and reset gates read the same concat([x, h]) input, so
+    their convs are fused into ONE conv with the kernels concatenated
+    along the output-channel axis — mathematically identical, half the
+    gate-conv dispatches, and a fuller MXU N dim at small feature counts
+    (the UNet's first encoder runs F=64 < the 128 TPU lane width). The
+    parameter tree is unchanged (update_gate/reset_gate/out_gate)."""
 
     features: int
     kernel_size: int
 
     @nn.compact
     def __call__(self, x, state):
+        from .conv import conv2d_fn
+
         stacked = jnp.concatenate([x, state], axis=-1)
-        update = jax.nn.sigmoid(
-            Conv2d(self.features, self.kernel_size, init="orthogonal",
-                   name="update_gate")(stacked)
+        cin = stacked.shape[-1]
+        ku, bu = _ConvGateParams(self.features, self.kernel_size,
+                                 name="update_gate")(cin)
+        kr, br = _ConvGateParams(self.features, self.kernel_size,
+                                 name="reset_gate")(cin)
+        ko, bo = _ConvGateParams(self.features, self.kernel_size,
+                                 name="out_gate")(cin)
+        ur = conv2d_fn(
+            stacked,
+            jnp.concatenate([ku, kr], axis=-1),
+            bias=jnp.concatenate([bu, br]),
         )
-        reset = jax.nn.sigmoid(
-            Conv2d(self.features, self.kernel_size, init="orthogonal",
-                   name="reset_gate")(stacked)
-        )
-        out = jnp.tanh(
-            Conv2d(self.features, self.kernel_size, init="orthogonal",
-                   name="out_gate")(
-                jnp.concatenate([x, state * reset], axis=-1)
-            )
-        )
+        update = jax.nn.sigmoid(ur[..., : self.features])
+        reset = jax.nn.sigmoid(ur[..., self.features:])
+        out = jnp.tanh(conv2d_fn(
+            jnp.concatenate([x, state * reset], axis=-1), ko, bias=bo
+        ))
         new_state = state * (1.0 - update) + out * update
         return new_state, new_state
 

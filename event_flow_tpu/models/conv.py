@@ -24,8 +24,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
-__all__ = ["Conv2d", "ConvTranspose2dX2", "torch_conv_kernel_init",
-           "set_conv_compute_dtype"]
+__all__ = ["Conv2d", "ConvTranspose2dX2", "conv2d_fn",
+           "torch_conv_kernel_init", "set_conv_compute_dtype"]
 
 # Conv compute precision policy: 'float32' (default, parity) or 'bfloat16'
 # (TPU MXU fast path; accumulation stays f32 via preferred_element_type).
@@ -54,6 +54,10 @@ def _conv_operands(x, kernel):
 #    not pick it.
 _CONV_IMPL = os.environ.get("EVFLOW_CONV_IMPL", "auto")
 
+# Backward for the im2col path: 'native' (custom VJP -> direct XLA convs,
+# default) or 'patches' (autodiff through the patch matmul) for A/B runs.
+_CONV_BWD = os.environ.get("EVFLOW_CONV_BWD", "native")
+
 
 def set_conv_impl(name):
     global _CONV_IMPL
@@ -78,7 +82,7 @@ def _conv_impl_for(x_shape, k, stride):
     return "im2col" if jax.default_backend() == "tpu" else "xla"
 
 
-def _conv_im2col(x, kernel, k):
+def _conv_im2col_raw(x, kernel, k):
     """Stride-1 same-padding conv as one [B*H*W, k*k*C] @ [k*k*C, O]
     matmul — keeps the M dim huge so the MXU amortizes the small-channel
     padding; bandwidth-bound on the patch materialization."""
@@ -93,6 +97,92 @@ def _conv_im2col(x, kernel, k):
     w2 = kernel.reshape(k * k * cin, cout)
     y = jax.lax.dot(pm, w2, preferred_element_type=jnp.float32)
     return y.reshape(b, h, w, cout)
+
+
+from functools import partial  # noqa: E402
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_im2col(x, kernel, k):
+    """im2col forward (fast on TPU: one huge-M matmul) with a NATIVE conv
+    backward. Autodiff through the patch construction materializes a 9x
+    input-sized patch cotangent, re-expands patches for dw, and transposes
+    them — measured pathological at the UNet's wide layers. The VJP below
+    instead computes dx / dw with the same direct conv formulations XLA
+    emits for ``lax.conv`` autodiff:
+
+      dx = conv(g, rot180(kernel) io-swapped), same padding
+      dw = conv(x as [Ci,H,W,B], g as [H,W,B,Co]), valid-k padding
+
+    both bf16-operand / f32-accumulate like the forward."""
+    return _conv_im2col_raw(x, kernel, k)
+
+
+def _conv_im2col_fwd(x, kernel, k):
+    return _conv_im2col_raw(x, kernel, k), (x, kernel)
+
+
+def _conv_im2col_bwd(k, res, g):
+    x, kernel = res
+    p = k // 2
+    g = g.astype(x.dtype)
+    # dx: correlate the cotangent with the spatially flipped, io-swapped
+    # kernel (stride-1 same padding is self-transpose)
+    k_flip = kernel[::-1, ::-1].transpose(0, 1, 3, 2)  # [k,k,Cout,Cin]
+    dx = jax.lax.conv_general_dilated(
+        g, k_flip, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    # dw[kh,kw,ci,co] = sum_{b,i,j} x[b,i+kh-p,j+kw-p,ci] * g[b,i,j,co]:
+    # a conv with the batch axis as the contraction ("features") dim
+    xt = jnp.moveaxis(x, (0, 3), (3, 0))  # [Ci, H, W, B]
+    gt = jnp.moveaxis(g, 0, 2)  # [H, W, B, Co]
+    dw = jax.lax.conv_general_dilated(
+        xt, gt, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )  # [Ci, k, k, Co]
+    dw = jnp.moveaxis(dw, 0, 2).astype(kernel.dtype)
+    return dx, dw
+
+
+_conv_im2col.defvjp(_conv_im2col_fwd, _conv_im2col_bwd)
+
+
+def conv2d_fn(x, kernel, stride=1, bias=None):
+    """Functional NHWC conv with torch-style symmetric padding, honoring
+    the global impl/dtype policies. ``kernel`` is [kh, kw, Cin, Cout].
+
+    Exposed so cells can fuse several same-input convs into one call by
+    concatenating kernels along the output-channel axis (e.g. the ConvGRU
+    update+reset gates) while keeping their parameter trees unchanged."""
+    k = kernel.shape[0]
+    pad = k // 2
+    xa, ka = _conv_operands(x, kernel)
+    impl = _conv_impl_for(x.shape, k, stride)
+    if impl == "pallas":
+        from ..ops.conv_pallas import conv2d_pallas
+
+        y = conv2d_pallas(xa, ka).astype(x.dtype)
+    elif impl == "im2col":
+        conv = _conv_im2col if _CONV_BWD == "native" else _conv_im2col_raw
+        y = conv(xa, ka, k).astype(x.dtype)
+    else:
+        y = jax.lax.conv_general_dilated(
+            xa,
+            ka,
+            window_strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(x.dtype)
+    # named for the EVFLOW_REMAT=convs policy (train/step.py): save
+    # the (cheap, compute-dtype) conv outputs across the scan remat,
+    # recompute only the elementwise neuron dynamics in the backward
+    y = checkpoint_name(y, "conv_out")
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
 
 
 def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
@@ -172,31 +262,11 @@ class Conv2d(nn.Module):
             g = self.param("g", g_init, (self.features,))
             norm = jnp.sqrt((kernel**2).sum(axis=(0, 1, 2), keepdims=True))
             kernel = kernel / norm * g
-        pad = k // 2
-        xa, ka = _conv_operands(x, kernel)
-        impl = _conv_impl_for(x.shape, k, self.stride)
-        if impl == "pallas":
-            from ..ops.conv_pallas import conv2d_pallas
-
-            y = conv2d_pallas(xa, ka).astype(x.dtype)
-        elif impl == "im2col":
-            y = _conv_im2col(xa, ka, k).astype(x.dtype)
-        else:
-            y = jax.lax.conv_general_dilated(
-                xa,
-                ka,
-                window_strides=(self.stride, self.stride),
-                padding=((pad, pad), (pad, pad)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ).astype(x.dtype)
-        # named for the EVFLOW_REMAT=convs policy (train/step.py): save
-        # the (cheap, compute-dtype) conv outputs across the scan remat,
-        # recompute only the elementwise neuron dynamics in the backward
-        y = checkpoint_name(y, "conv_out")
         if self.use_bias:
             bias = self.param("bias", bias_init, (self.features,))
-            y = y + bias.astype(y.dtype)
-        return y
+        else:
+            bias = None
+        return conv2d_fn(x, kernel, stride=self.stride, bias=bias)
 
 
 class ConvTranspose2dX2(nn.Module):

@@ -90,6 +90,23 @@ class _SpikingBase(nn.Module):
             p = jax.lax.stop_gradient(p)
         return p
 
+    def _fused_current(self, x, z):
+        """ff(x) + rec(z) as ONE conv over concat([x, z]) with the two
+        bias-free snn-init kernels concatenated along the input-channel
+        axis — mathematically identical (conv is linear in its input), one
+        patch/matmul instead of two. Parameter tree unchanged
+        ('ff'/'rec' kernels via _ConvKernel)."""
+        from .conv import conv2d_fn
+
+        kf = _ConvKernel(self.features, self.kernel_size,
+                         name="ff")(x.shape[-1])
+        kr = _ConvKernel(self.features, self.kernel_size,
+                         name="rec")(self.features)
+        return conv2d_fn(
+            jnp.concatenate([x, z.astype(x.dtype)], axis=-1),
+            jnp.concatenate([kf, kr], axis=2).astype(x.dtype),
+        )
+
     def _use_fused(self, x, stride, rec=False):
         """Route through the fused conv+LIF Pallas kernel
         (ops/fused_lif_pallas.py) when selected and the shape qualifies
@@ -405,24 +422,29 @@ class ConvLIFRecurrent(_SpikingBase):
                 self.activation, self.act_width,
             )
             return z_out, (v_out, z_out)
-        ff = Conv2d(self.features, self.kernel_size, 1,
-                    use_bias=False, init="snn", weight_norm=wn, name="ff")(x)
         v, z = state
         if self.norm == "group":
             z = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="norm_rec")(z)
         # recurrent current from pre-detach spikes (spiking_submodules.py:530)
-        rec = Conv2d(self.features, self.kernel_size, 1,
-                     use_bias=False, init="snn", weight_norm=wn, name="rec")(z)
+        if wn:
+            # weight norm reparameterizes each conv separately — keep the
+            # two-conv form
+            ff = Conv2d(self.features, self.kernel_size, 1, use_bias=False,
+                        init="snn", weight_norm=True, name="ff")(x)
+            rec = Conv2d(self.features, self.kernel_size, 1, use_bias=False,
+                         init="snn", weight_norm=True, name="rec")(z)
+            cur = ff + rec
+        else:
+            cur = self._fused_current(x, z)
         thresh = jnp.maximum(
             self._neuron_param("thresh", self.thresh, self.features,
                                self.learn_thresh), 0.01)
         leak = jax.nn.sigmoid(
             self._neuron_param("leak", self.leak, self.features,
                                self.learn_leak))
-        thresh, leak = _like(ff, thresh, leak)
+        thresh, leak = _like(cur, thresh, leak)
         if self.detach:
             z = jax.lax.stop_gradient(z)
-        cur = ff + rec
         if self.hard_reset:
             v_out = v * leak * (1.0 - z) + (1.0 - leak) * cur
         else:
@@ -456,11 +478,8 @@ class ConvPLIFRecurrent(_SpikingBase):
 
     @nn.compact
     def __call__(self, x, state, residual=0.0):
-        ff = Conv2d(self.features, self.kernel_size, 1,
-                    use_bias=False, init="snn", name="ff")(x)
         v, z, pt = state
-        rec = Conv2d(self.features, self.kernel_size, 1,
-                     use_bias=False, init="snn", name="rec")(z)
+        ff = self._fused_current(x, z)  # ff(x) + rec(z), fused
         thresh = jnp.maximum(
             self._neuron_param("thresh", self.thresh, self.features,
                                self.learn_thresh), 0.01)
@@ -482,7 +501,7 @@ class ConvPLIFRecurrent(_SpikingBase):
         pt_out = pt * leak_pt + (1.0 - leak_pt) * trace_in
         if self.detach:
             z = jax.lax.stop_gradient(z)
-        cur = ff + rec - add_pt * pt_out
+        cur = ff - add_pt * pt_out
         if self.hard_reset:
             v_out = v * leak_v * (1.0 - z) + (1.0 - leak_v) * cur
         else:
@@ -516,11 +535,8 @@ class ConvALIFRecurrent(_SpikingBase):
 
     @nn.compact
     def __call__(self, x, state):
-        ff = Conv2d(self.features, self.kernel_size, 1,
-                    use_bias=False, init="snn", name="ff")(x)
         v, z, t = state
-        rec = Conv2d(self.features, self.kernel_size, 1,
-                     use_bias=False, init="snn", name="rec")(z)
+        cur = self._fused_current(x, z)  # ff(x) + rec(z), fused
         t0 = jnp.maximum(
             self._neuron_param("t0", self.t0, self.features,
                                self.learn_thresh), 0.01)
@@ -533,12 +549,11 @@ class ConvALIFRecurrent(_SpikingBase):
         leak_t = jax.nn.sigmoid(
             self._neuron_param("leak_t", self.leak_t, self.features,
                                self.learn_leak))
-        t0, t1, leak_v, leak_t = _like(ff, t0, t1, leak_v, leak_t)
+        t0, t1, leak_v, leak_t = _like(cur, t0, t1, leak_v, leak_t)
         t_out = t * leak_t + (1.0 - leak_t) * z
         thresh = t0 + t1 * t_out
         if self.detach:
             z = jax.lax.stop_gradient(z)
-        cur = ff + rec
         if self.hard_reset:
             v_out = v * leak_v * (1.0 - z) + (1.0 - leak_v) * cur
         else:
@@ -573,11 +588,14 @@ class ConvXLIFRecurrent(_SpikingBase):
 
     @nn.compact
     def __call__(self, x, state):
-        ff = Conv2d(self.features, self.kernel_size, self.stride,
-                    use_bias=False, init="snn", name="ff")(x)
         v, z, pt = state
-        rec = Conv2d(self.features, self.kernel_size, 1,
-                     use_bias=False, init="snn", name="rec")(z)
+        if self.stride == 1:
+            cur = self._fused_current(x, z)  # ff(x) + rec(z), fused
+        else:
+            cur = Conv2d(self.features, self.kernel_size, self.stride,
+                         use_bias=False, init="snn", name="ff")(x) \
+                + Conv2d(self.features, self.kernel_size, 1,
+                         use_bias=False, init="snn", name="rec")(z)
         t0 = jnp.maximum(
             self._neuron_param("t0", self.t0, self.features,
                                self.learn_thresh), 0.01)
@@ -590,7 +608,7 @@ class ConvXLIFRecurrent(_SpikingBase):
         leak_pt = jax.nn.sigmoid(
             self._neuron_param("leak_pt", self.leak_pt, self.features,
                                self.learn_leak))
-        t0, t1, leak_v, leak_pt = _like(ff, t0, t1, leak_v, leak_pt)
+        t0, t1, leak_v, leak_pt = _like(cur, t0, t1, leak_v, leak_pt)
         trace_in = avg_pool(
             jnp.mean(jnp.abs(x), axis=-1, keepdims=True),
             self.kernel_size, self.stride, self.kernel_size // 2,
@@ -599,7 +617,6 @@ class ConvXLIFRecurrent(_SpikingBase):
         thresh = t0 + t1 * pt_out
         if self.detach:
             z = jax.lax.stop_gradient(z)
-        cur = ff + rec
         if self.hard_reset:
             v_out = v * leak_v * (1.0 - z) + (1.0 - leak_v) * cur
         else:

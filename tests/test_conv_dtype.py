@@ -235,3 +235,24 @@ def test_unet_trace_under_fast_conv_config():
         cm.set_conv_impl("auto")
         cm.set_conv_compute_dtype("float32")
         policy_mod.set_cell_compute_dtype("float32")
+
+
+def test_im2col_native_backward_matches_patch_autodiff():
+    """The im2col custom VJP (native-conv dx/dw, models/conv.py) must equal
+    autodiff through the patch matmul for values and both gradients."""
+    from event_flow_tpu.models.conv import _conv_im2col, _conv_im2col_raw
+
+    rng = np.random.default_rng(7)
+    for (b, h, w, ci, co, k) in [(2, 8, 9, 3, 5, 3), (1, 12, 12, 8, 4, 5)]:
+        x = jnp.asarray(rng.normal(size=(b, h, w, ci)).astype(np.float32))
+        kr = jnp.asarray(rng.normal(size=(k, k, ci, co)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(_conv_im2col(x, kr, k)),
+            np.asarray(_conv_im2col_raw(x, kr, k)), rtol=1e-5, atol=1e-5)
+        g1 = jax.grad(lambda a, b_: (_conv_im2col(a, b_, k) ** 2).sum(),
+                      argnums=(0, 1))(x, kr)
+        g2 = jax.grad(lambda a, b_: (_conv_im2col_raw(a, b_, k) ** 2).sum(),
+                      argnums=(0, 1))(x, kr)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-4)
