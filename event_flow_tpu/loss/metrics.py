@@ -10,11 +10,39 @@ timestamp offsets, per-event flows gathered at association time from the
 highest-resolution flow map (flow.py:350).
 """
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.iwe import get_interpolation, interpolate_multi
+from ..ops.iwe_matmul import bilinear_splat_cf
 
 __all__ = ["fwl", "rsat", "aee", "spatial_variance"]
+
+
+def _round_iwe(event_list, event_flow, tref, res, flow_scaling, vals):
+    """Round-idx IWE of per-event value channels [B, M, C] -> [B, H, W, C].
+
+    Two equivalent backends (same semantics as the reference's
+    round-idx scatter, utils/iwe.py:59-63 + :89-91):
+      - TPU: one-hot matmul splat (ops/iwe_matmul.py) — rounded coords
+        make the row/col interpolation matrices exact one-hot and
+        off-grid events drop out automatically, no scatter op;
+      - elsewhere: the compact scatter path (get_interpolation +
+        interpolate_multi), which also zeroes out-of-bounds rows.
+    """
+    if jax.default_backend() == "tpu":
+        ts = event_list[..., 0:1]
+        warped = jnp.round(
+            event_list[..., 1:3] + (tref - ts) * event_flow * flow_scaling
+        )
+        img = bilinear_splat_cf(
+            warped[..., 0], warped[..., 1], jnp.moveaxis(vals, -1, 1), res
+        )
+        return jnp.moveaxis(img, 1, -1)
+    idx, w = get_interpolation(
+        event_list, event_flow, tref, res, flow_scaling, round_idx=True
+    )
+    return interpolate_multi(idx, w * vals, res)
 
 
 def spatial_variance(x):
@@ -36,23 +64,18 @@ def fwl(event_list, event_flow, passes, res, flow_scaling=128):
     accumulated windows (tref).
     Returns [B].
     """
-    idx, w = get_interpolation(
-        event_list, event_flow, float(passes), res, flow_scaling, round_idx=True
-    )
-    iwe = interpolate_multi(idx, w, res)
-    zidx, zw = get_interpolation(
-        event_list, event_flow * 0.0, float(passes), res, flow_scaling,
-        round_idx=True,
-    )
-    ie = interpolate_multi(zidx, zw, res)
+    ones = jnp.ones_like(event_list[..., :1])
+    iwe = _round_iwe(event_list, event_flow, float(passes), res,
+                     flow_scaling, ones)
+    ie = _round_iwe(event_list, event_flow * 0.0, float(passes), res,
+                    flow_scaling, ones)
     return spatial_variance(iwe) / spatial_variance(ie)
 
 
-def _avg_ts_sq_sum(idx, w, ts, pol_mask, max_ts, res):
+def _avg_ts_sq_sum(img, max_ts):
     """Sum of squared per-pixel/per-polarity average timestamps, normalized
-    by nonzero-pixel count (reference: loss/flow.py:556-577)."""
-    stack = jnp.concatenate([w * pol_mask, w * ts * pol_mask], axis=-1)
-    img = interpolate_multi(idx, stack, res)  # [B,H,W,4]
+    by nonzero-pixel count (reference: loss/flow.py:556-577).
+    img: [B, H, W, 4] = (pos count, neg count, pos ts, neg ts)."""
     iwe, iwe_ts = img[..., 0:2], img[..., 2:4]
     ts_img = iwe_ts / (iwe + 1e-9) / max_ts
     s = jnp.sum(ts_img**2, axis=(1, 2, 3))
@@ -65,14 +88,14 @@ def rsat(event_list, event_flow, pol_mask, passes, res, flow_scaling=128):
     (reference: loss/flow.py:503-579). Lower is better. Returns [B]."""
     max_ts = float(passes)
     ts = event_list[..., 0:1]
-    idx, w = get_interpolation(
-        event_list, event_flow, max_ts, res, flow_scaling, round_idx=True
-    )
-    fw = _avg_ts_sq_sum(idx, w, ts, pol_mask, max_ts, res)
-    zidx, zw = get_interpolation(
-        event_list, event_flow * 0.0, max_ts, res, flow_scaling, round_idx=True
-    )
-    zero = _avg_ts_sq_sum(zidx, zw, ts, pol_mask, max_ts, res)
+    vals = jnp.concatenate([pol_mask, ts * pol_mask], axis=-1)  # [B,M,4]
+    fw = _avg_ts_sq_sum(
+        _round_iwe(event_list, event_flow, max_ts, res, flow_scaling, vals),
+        max_ts)
+    zero = _avg_ts_sq_sum(
+        _round_iwe(event_list, event_flow * 0.0, max_ts, res, flow_scaling,
+                   vals),
+        max_ts)
     return fw / zero
 
 

@@ -126,3 +126,33 @@ def test_loss_impls_agree(overwrite, t_live_val):
     scale = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
         lambda a: float(jnp.max(jnp.abs(a))), g1)))
     assert max(jax.tree_util.tree_leaves(d)) <= 1e-4 * max(1.0, scale)
+
+
+def test_round_idx_splat_equals_scatter_metrics_path():
+    """The eval metrics' one-hot (round-idx) IWE must be identical between
+    the matmul splat and the scatter path (loss/metrics.py::_round_iwe)."""
+    from event_flow_tpu.ops.iwe import get_interpolation, interpolate_multi
+
+    rng = np.random.default_rng(11)
+    b, m, h, w = 2, 500, 30, 40
+    ev = np.zeros((b, m, 4), np.float32)
+    ev[..., 0] = np.sort(rng.uniform(0, 1, (b, m)))
+    ev[..., 1] = rng.integers(0, h, (b, m))
+    ev[..., 2] = rng.integers(0, w, (b, m))
+    ev[..., 3] = rng.choice([-1, 1], (b, m))
+    flow = rng.normal(0, 0.08, (b, m, 2)).astype(np.float32)
+    vals = rng.random((b, m, 3)).astype(np.float32)
+    ev, flow, vals = jnp.asarray(ev), jnp.asarray(flow), jnp.asarray(vals)
+    tref, scaling = 1.0, 24.0
+
+    idx, wgt = get_interpolation(ev, flow, tref, (h, w), scaling,
+                                 round_idx=True)
+    ref = interpolate_multi(idx, wgt * vals, (h, w))
+
+    ts = ev[..., 0:1]
+    warped = jnp.round(ev[..., 1:3] + (tref - ts) * flow * scaling)
+    img = bilinear_splat_cf(warped[..., 0], warped[..., 1],
+                            jnp.moveaxis(vals, -1, 1), (h, w))
+    out = jnp.moveaxis(img, 1, -1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
