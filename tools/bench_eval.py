@@ -1,0 +1,188 @@
+"""Eval steady-state benchmark (real chip): ECD-recipe FWL/RSAT eval.
+
+Measures the per-window latency of the full evaluation protocol
+(reference: eval_flow.py:119-239 — model window step + metric
+association/accumulation) on synthetic event streams written in the
+reference HDF5 schema, at the ECD recipe: events mode, 15000-event
+windows, FWL/RSAT, hot filter enabled (configs/eval_ECD.yml).
+
+The harness's chunked dispatch (eval/harness.py::_chunk_step) folds the
+model scan AND the metric association for S windows into ONE jitted
+dispatch, and keeps metric records as device arrays until ``results()``
+— so the ~35 ms tunnel round trip is paid once per chunk, not twice per
+window. This script reports:
+
+  - steady-state ms/window (post-compile, drain included),
+  - total wall and the metric values (sanity),
+  - at batch_size 1 and 4 (files batched into slots).
+
+Usage:
+  python tools/bench_eval.py [--windows 96] [--batches 1 4] [--chunk -1]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+RES = (180, 240)  # ECD sensor resolution (configs/eval_ECD.yml)
+WINDOW = 15000
+
+
+def make_config(batch, path, chunk):
+    if chunk >= 0:
+        os.environ["EVFLOW_EVAL_CHUNK"] = str(chunk)
+    return {
+        "experiment": "bench_eval",
+        "data": {"mode": "events", "path": path, "window": WINDOW,
+                 "window_eval": WINDOW},
+        "model": {
+            "name": "LIFFireNet", "encoding": "cnt", "num_bins": 2,
+            "base_num_channels": 32, "kernel_size": 3, "mask_output": True,
+            "activations": ["arctanspike", "arctanspike"],
+            "spiking_neuron": {"leak": [-4.0, 0.1], "thresh": [0.8, 0.1],
+                               "learn_leak": True, "learn_thresh": True,
+                               "hard_reset": True},
+        },
+        "metrics": {"name": ["FWL", "RSAT"], "flow_scaling": 128},
+        "loader": {"resolution": list(RES), "batch_size": batch,
+                   "augment": [], "seed": 0},
+        "vis": {"enabled": False, "store": False, "activity": False,
+                "bars": False},
+        "hot_filter": {"enabled": True, "max_px": 100, "min_obvs": 5,
+                       "max_rate": 0.8},
+    }
+
+
+def ensure_dataset(workdir, n_files, windows_per_file):
+    from event_flow_tpu.data.schema import write_synthetic_sequence
+
+    # separate dir per (n_files, length): equal-length files per slot, and
+    # a stale short file from an earlier invocation can't pollute the run
+    workdir = os.path.join(workdir, f"f{n_files}_w{windows_per_file}")
+    os.makedirs(workdir, exist_ok=True)
+    n_events = (windows_per_file + 2) * WINDOW
+    paths = []
+    for s in range(n_files):
+        p = os.path.join(workdir, f"ecd_{s:02d}.h5")
+        if not os.path.exists(p):
+            write_synthetic_sequence(
+                p, res=RES, n_events=n_events, duration=10.0,
+                velocity=(18.0 + 7 * (s % 3), -12.0 - 5 * (s % 2)), seed=s,
+            )
+        paths.append(p)
+    return paths
+
+
+def run_eval(config):
+    """Run the full eval protocol; return (windows, steady ms/window,
+    total_s, results).
+
+    Timing through the axon tunnel: dispatches enqueue asynchronously and
+    ``block_until_ready`` under-reports — only a host READ is a real
+    sync. So each chunk flush is timed individually with a float() read
+    of one model-state element; the steady-state figure is the median
+    over post-first dispatches (the first pays the compile) divided by
+    the windows per chunk. The per-window protocol semantics are
+    untouched — this wrapper only observes when flushes happen.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from event_flow_tpu.data.h5 import EventStream
+    from event_flow_tpu.eval.harness import Evaluator
+    from event_flow_tpu.models.registry import get_model
+    from event_flow_tpu.ops.hot_filter import init_hot_state
+
+    model = get_model(config["model"]["name"], config["model"])
+    b = config["loader"]["batch_size"]
+    state = model.zero_state(b, *RES)
+    voxel = jnp.zeros((b, *RES, config["model"]["num_bins"]))
+    cnt = jnp.zeros((b, *RES, 2))
+    params = model.init(jax.random.PRNGKey(0), voxel, cnt, state)
+
+    evaluator = Evaluator(config, model, params)
+    stream = EventStream(config)
+    hot_state = init_hot_state(b, RES)
+    model_state = state
+
+    flush_times = []  # (n_windows_in_chunk, seconds) per dispatch
+    orig_flush = evaluator._flush_chunk
+
+    def timed_flush(params):
+        n = len(evaluator._chunk)
+        if not n:
+            return orig_flush(params)
+        t0 = time.perf_counter()
+        orig_flush(params)
+        leaf = jax.tree_util.tree_leaves(evaluator._chunk_state[0])[0]
+        float(leaf.reshape(-1)[0])  # true sync (host read)
+        flush_times.append((n * b, time.perf_counter() - t0))
+
+    if evaluator.chunked:
+        evaluator._flush_chunk = timed_flush
+
+    t0 = time.perf_counter()
+    windows = 0
+    while stream.seq_num < len(stream.files):
+        batch = stream.next_batch()
+        if stream.seq_num >= len(stream.files):
+            break
+        model_state, hot_state, _ = evaluator.process_batch(
+            stream, params, model_state, hot_state, batch
+        )
+        windows += b
+    stream.close()
+    results = evaluator.results()  # drains pending device records
+    t1 = time.perf_counter()
+
+    steady = float("nan")
+    if len(flush_times) > 1:
+        full = flush_times[0][0]
+        tail = [t / n for n, t in flush_times[1:] if n == full]
+        if tail:
+            steady = float(np.median(tail)) * 1e3
+    return windows, steady, t1 - t0, results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--windows", type=int, default=96,
+                    help="event windows per file")
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 4])
+    ap.add_argument("--chunk", type=int, default=-1,
+                    help="EVFLOW_EVAL_CHUNK groups per dispatch (-1 auto, "
+                         "1 disables chunking)")
+    ap.add_argument("--workdir", default="/tmp/evflow_eval_bench")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke test)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    print(f"backend: {jax.default_backend()}, chunk={args.chunk}")
+    for b in args.batches:
+        paths = ensure_dataset(args.workdir, b, args.windows)
+        config = make_config(b, os.path.dirname(paths[0]), args.chunk)
+        n, steady, total, results = run_eval(config)
+        fwl = sorted(results.get("FWL", {}).items())
+        print(
+            f"b{b}: {n} windows in {total:.1f}s total, "
+            f"steady state {steady:.2f} ms/window "
+            f"({1e3 / steady:.1f} windows/s); "
+            f"FWL {', '.join(f'{k}={v:.3f}' for k, v in fwl[:2])}"
+        )
+        del paths
+
+
+if __name__ == "__main__":
+    main()
