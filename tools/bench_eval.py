@@ -31,17 +31,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
-RES = (180, 240)  # ECD sensor resolution (configs/eval_ECD.yml)
-WINDOW = 15000
+# The two headline eval recipes (configs/eval_ECD.yml / eval_MVSEC.yml):
+# ECD = fixed 15000-event windows, FWL/RSAT; MVSEC = gtflow windows
+# between GT flow frames (variable length, bucketed to max_events), AEE.
+RECIPES = {
+    "ECD": {
+        "res": (180, 240), "mode": "events",
+        "window": 15000, "window_eval": 15000,
+        "metrics": ["FWL", "RSAT"],
+    },
+    "MVSEC": {
+        "res": (256, 256), "mode": "gtflow_dt1",
+        "window": 1, "window_eval": 15000, "max_events": 65536,
+        "metrics": ["AEE"], "gt_flow_hz": 20.0, "events_per_window": 8000,
+    },
+}
 
 
-def make_config(batch, path, chunk):
+def make_config(batch, path, chunk, recipe):
     if chunk >= 0:
         os.environ["EVFLOW_EVAL_CHUNK"] = str(chunk)
+    r = RECIPES[recipe]
+    data = {"mode": r["mode"], "path": path, "window": r["window"],
+            "window_eval": r["window_eval"]}
+    if "max_events" in r:
+        data["max_events"] = r["max_events"]
     return {
         "experiment": "bench_eval",
-        "data": {"mode": "events", "path": path, "window": WINDOW,
-                 "window_eval": WINDOW},
+        "data": data,
         "model": {
             "name": "LIFFireNet", "encoding": "cnt", "num_bins": 2,
             "base_num_channels": 32, "kernel_size": 3, "mask_output": True,
@@ -50,8 +67,8 @@ def make_config(batch, path, chunk):
                                "learn_leak": True, "learn_thresh": True,
                                "hard_reset": True},
         },
-        "metrics": {"name": ["FWL", "RSAT"], "flow_scaling": 128},
-        "loader": {"resolution": list(RES), "batch_size": batch,
+        "metrics": {"name": list(r["metrics"]), "flow_scaling": 128},
+        "loader": {"resolution": list(r["res"]), "batch_size": batch,
                    "augment": [], "seed": 0},
         "vis": {"enabled": False, "store": False, "activity": False,
                 "bars": False},
@@ -60,21 +77,35 @@ def make_config(batch, path, chunk):
     }
 
 
-def ensure_dataset(workdir, n_files, windows_per_file):
+def ensure_dataset(workdir, n_files, windows_per_file, recipe):
     from event_flow_tpu.data.schema import write_synthetic_sequence
 
-    # separate dir per (n_files, length): equal-length files per slot, and
-    # a stale short file from an earlier invocation can't pollute the run
-    workdir = os.path.join(workdir, f"f{n_files}_w{windows_per_file}")
+    r = RECIPES[recipe]
+    # separate dir per (recipe, n_files, length): equal-length files per
+    # slot, and a stale short file from an earlier invocation can't
+    # pollute the run
+    workdir = os.path.join(
+        workdir, f"{recipe.lower()}_f{n_files}_w{windows_per_file}")
     os.makedirs(workdir, exist_ok=True)
-    n_events = (windows_per_file + 2) * WINDOW
+    kwargs = {}
+    if r["mode"].startswith("gtflow"):
+        # one gt-flow frame per window: duration sized so the requested
+        # window count fits at gt_flow_hz
+        hz = r["gt_flow_hz"]
+        duration = (windows_per_file + 2) / hz
+        n_events = (windows_per_file + 2) * r["events_per_window"]
+        kwargs["gt_flow_hz"] = hz
+    else:
+        duration = 10.0
+        n_events = (windows_per_file + 2) * r["window"]
     paths = []
     for s in range(n_files):
-        p = os.path.join(workdir, f"ecd_{s:02d}.h5")
+        p = os.path.join(workdir, f"seq_{s:02d}.h5")
         if not os.path.exists(p):
             write_synthetic_sequence(
-                p, res=RES, n_events=n_events, duration=10.0,
+                p, res=r["res"], n_events=n_events, duration=duration,
                 velocity=(18.0 + 7 * (s % 3), -12.0 - 5 * (s % 2)), seed=s,
+                **kwargs,
             )
         paths.append(p)
     return paths
@@ -102,14 +133,15 @@ def run_eval(config):
 
     model = get_model(config["model"]["name"], config["model"])
     b = config["loader"]["batch_size"]
-    state = model.zero_state(b, *RES)
-    voxel = jnp.zeros((b, *RES, config["model"]["num_bins"]))
-    cnt = jnp.zeros((b, *RES, 2))
+    res = tuple(config["loader"]["resolution"])
+    state = model.zero_state(b, *res)
+    voxel = jnp.zeros((b, *res, config["model"]["num_bins"]))
+    cnt = jnp.zeros((b, *res, 2))
     params = model.init(jax.random.PRNGKey(0), voxel, cnt, state)
 
     evaluator = Evaluator(config, model, params)
     stream = EventStream(config)
-    hot_state = init_hot_state(b, RES)
+    hot_state = init_hot_state(b, res)
     model_state = state
 
     flush_times = []  # (n_windows_in_chunk, seconds) per dispatch
@@ -159,6 +191,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=-1,
                     help="EVFLOW_EVAL_CHUNK groups per dispatch (-1 auto, "
                          "1 disables chunking)")
+    ap.add_argument("--recipe", default="ECD", choices=sorted(RECIPES))
     ap.add_argument("--workdir", default="/tmp/evflow_eval_bench")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke test)")
@@ -169,17 +202,20 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    print(f"backend: {jax.default_backend()}, chunk={args.chunk}")
+    print(f"backend: {jax.default_backend()}, recipe={args.recipe}, "
+          f"chunk={args.chunk}")
+    lead = RECIPES[args.recipe]["metrics"][0]
     for b in args.batches:
-        paths = ensure_dataset(args.workdir, b, args.windows)
-        config = make_config(b, os.path.dirname(paths[0]), args.chunk)
+        paths = ensure_dataset(args.workdir, b, args.windows, args.recipe)
+        config = make_config(b, os.path.dirname(paths[0]), args.chunk,
+                             args.recipe)
         n, steady, total, results = run_eval(config)
-        fwl = sorted(results.get("FWL", {}).items())
+        vals = sorted(results.get(lead, {}).items())
         print(
             f"b{b}: {n} windows in {total:.1f}s total, "
             f"steady state {steady:.2f} ms/window "
             f"({1e3 / steady:.1f} windows/s); "
-            f"FWL {', '.join(f'{k}={v:.3f}' for k, v in fwl[:2])}"
+            f"{lead} {', '.join(f'{k}={v:.3f}' for k, v in vals[:2])}"
         )
         del paths
 
