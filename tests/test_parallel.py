@@ -9,6 +9,7 @@ from event_flow_tpu.models.registry import get_model
 from event_flow_tpu.parallel.mesh import (
     make_mesh,
     make_mesh_2d,
+    make_mesh_3d,
     shard_state,
     shard_train_step,
 )
@@ -66,6 +67,65 @@ def test_2d_mesh_event_sharding_matches_single_device():
     st = shard_state(st0, mesh)
     _, loss = sharded(st, ev, valid, aug, reset)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_3d_mesh_tensor_parallel_matches_single_device():
+    """3-D (data x event x model) mesh — tensor parallelism: conv output
+    channels, per-channel neuron params (leak/thresh) and the recurrent
+    state's channel axis shard over ``model``; two CHAINED updates (the
+    second consumes the channel-sharded params/opt/state carry produced by
+    the first) match the single-device run."""
+    snn_cfg = dict(
+        CFG,
+        name="LIFFireNet",
+        activations=["arctanspike", "arctanspike"],
+        spiking_neuron={"leak": [-4.0, 0.1], "thresh": [0.8, 0.1],
+                        "learn_leak": True, "learn_thresh": True,
+                        "hard_reset": True},
+    )
+    model = get_model("LIFFireNet", snn_cfg)
+    tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
+    loss_cfg = LossConfig(RES, float(max(RES)), 0.001, smoothing_mask=True)
+    step = make_train_step(model, tx, RES, 2, loss_cfg)
+    rng = np.random.default_rng(3)
+    evs = [
+        jnp.asarray(np.stack([
+            np.stack([constant_flow_window(rng, N, RES, (2.0, 1.0), 12)
+                      for _ in range(T)])
+            for _ in range(B)
+        ]))
+        for _ in range(2)
+    ]
+    valid = jnp.ones((B, T, N))
+    aug = jnp.zeros((B, 3))
+    reset = jnp.asarray(False)
+
+    mesh = make_mesh_3d(2, 2, 2)
+    st0 = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
+    sharded = shard_train_step(step, mesh, st0)
+    st = shard_state(st0, mesh)
+    # the channel axis really is distributed, not replicated
+    kernels = [
+        leaf for leaf in jax.tree_util.tree_leaves(st.params)
+        if getattr(leaf, "ndim", 0) == 4
+    ]
+    assert kernels and all(
+        k.sharding.spec[-1] == "model" for k in kernels
+        if k.shape[-1] >= 8
+    )
+    losses = []
+    for ev in evs:
+        st, loss = sharded(st, ev, valid, aug, reset)
+        losses.append(float(loss))
+
+    ref_state = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
+    plain = jax.jit(step)
+    ref = []
+    for ev in evs:
+        ref_state, loss = plain(ref_state, ev, valid, aug, reset)
+        ref.append(float(loss))
+    np.testing.assert_allclose(losses, ref, rtol=2e-4)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
