@@ -15,8 +15,11 @@ dynamics on the accumulator before anything leaves the chip:
 The custom VJP avoids re-running the conv for the leak gradient by
 recovering the current algebraically from the saved outputs:
 ``(1-l)*cur = v' - v*l*(1-z)`` (hard) / ``v' - v*l + z*th`` (soft); the
-input/weight gradients reuse the im2col matmul kernels
-(ops/conv_pallas.py): dx = conv(g, flip/transpose w), dw = im2col(x)^T @ g.
+input/weight gradients use the DIRECT conv formulations (same as
+models/conv.py::_conv_im2col_bwd — dx = conv(g, rot180 io-swapped w),
+dw = conv with batch as the contraction dim), which avoid the 9x
+patch-matrix materialization of the earlier im2col dw kernel
+(EVFLOW_FUSED_BWD=patches re-selects it for A/B runs).
 
 Semantics match ConvLIF / ConvLIFRecurrent with detach=True (the
 reference default): the spike state's cotangent through the reset is
@@ -29,6 +32,7 @@ Supported: stride 1, odd k <= 5, NHWC; selected via EVFLOW_CELL_IMPL=pallas
 (models/snn_cells.py) when shapes qualify.
 """
 
+import os
 from functools import partial
 
 import jax
@@ -46,6 +50,38 @@ __all__ = ["fused_conv_lif", "fused_conv_lif_rec", "fused_lif_available"]
 
 def _interpret():
     return _cp._INTERPRET
+
+
+# Backward conv formulation: 'native' (direct XLA convs, no patch
+# materialization — default) or 'patches' (the original Pallas im2col
+# dx/dw kernels) for A/B measurements.
+_FUSED_BWD = os.environ.get("EVFLOW_FUSED_BWD", "native")
+
+
+def _conv_grads(x, w, g, k):
+    """(dx, dw) of y = conv_same(x, w) given the output cotangent g,
+    as the direct convs XLA emits for ``lax.conv`` autodiff (see
+    models/conv.py::_conv_im2col_bwd): no im2col patch matrices."""
+    if _FUSED_BWD == "patches":
+        dx = _conv_fwd(g, _flatten_kernel(_flip_transpose_kernel(w)), k)
+        dw = _conv_dw(x, g, k).reshape(w.shape)
+        return dx, dw
+    p = k // 2
+    g = g.astype(x.dtype)
+    k_flip = w[::-1, ::-1].transpose(0, 1, 3, 2)  # [k,k,Cout,Cin]
+    dx = jax.lax.conv_general_dilated(
+        g, k_flip.astype(x.dtype), (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    xt = jnp.moveaxis(x, (0, 3), (3, 0))  # [Ci, H, W, B]
+    gt = jnp.moveaxis(g, 0, 2)  # [H, W, B, Co]
+    dw = jax.lax.conv_general_dilated(
+        xt, gt, (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )  # [Ci, k, k, Co]
+    return dx, jnp.moveaxis(dw, 0, 2).astype(w.dtype)
 
 
 def fused_lif_available(x_shape, kernel_size, stride, cout=None, rec=False):
@@ -270,8 +306,7 @@ def _ff_bwd(k, hard_reset, activation, width, res, g):
     g_v, g_z = g
     g_cur, g_vin, g_l, g_t = _fused_bwd_elem(
         v, z, v_out, leak, thresh, g_v, g_z, hard_reset, activation, width)
-    dx = _conv_fwd(g_cur, _flatten_kernel(_flip_transpose_kernel(w)), k)
-    dw = _conv_dw(x, g_cur, k).reshape(w.shape)
+    dx, dw = _conv_grads(x, w, g_cur, k)
     # z enters only via the (detached) reset -> no z cotangent
     dz = jnp.zeros_like(z)
     return dx, dw, g_vin, dz, g_l.astype(leak.dtype), g_t.astype(thresh.dtype)
@@ -305,11 +340,8 @@ def _rec_bwd(k, hard_reset, activation, width, res, g):
     g_v, g_z = g
     g_cur, g_vin, g_l, g_t = _fused_bwd_elem(
         v, z, v_out, leak, thresh, g_v, g_z, hard_reset, activation, width)
-    dx = _conv_fwd(g_cur, _flatten_kernel(_flip_transpose_kernel(w)), k)
-    dw = _conv_dw(x, g_cur, k).reshape(w.shape)
-    dzrec = _conv_fwd(
-        g_cur, _flatten_kernel(_flip_transpose_kernel(w_rec)), k)
-    dwrec = _conv_dw(z_rec, g_cur, k).reshape(w_rec.shape)
+    dx, dw = _conv_grads(x, w, g_cur, k)
+    dzrec, dwrec = _conv_grads(z_rec, w_rec, g_cur, k)
     dz = jnp.zeros_like(z)
     return (dx, dw, dwrec, g_vin, dz, dzrec,
             g_l.astype(leak.dtype), g_t.astype(thresh.dtype))
