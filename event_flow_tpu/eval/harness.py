@@ -178,7 +178,11 @@ class Evaluator:
         chunk — augmentation only re-draws at sequence changes, which
         flush); resets [S,B]; live [S] (0 = padding window: state frozen,
         metrics masked host-side). AEE extras are [S,B,...].
+
+        ``valid`` may arrive as uint8 (the flush ships it compact, see
+        _flush_chunk) — restored to float here, on device.
         """
+        valid = valid.astype(jnp.float32)
         need_flow = self.overwrite_intermediate or "AEE" in self.metrics
 
         def body(carry, xs):
@@ -397,17 +401,44 @@ class Evaluator:
         ms, hs = self._chunk_state
         return ms, hs, None
 
+    # event-axis bucket ladder for transfer trimming (see _flush_chunk)
+    _EVENT_BUCKETS = (1024, 2048, 4096, 8192, 16384, 32768)
+
     def _flush_chunk(self, params):
         """One jitted dispatch over the buffered windows (padded to the
-        static chunk size); queue the resulting metric groups."""
+        static chunk size); queue the resulting metric groups.
+
+        Host->device transfer is the steady-state bottleneck on a
+        tunneled TPU (~50 MB/s + ~67 ms fixed per flush, measured — see
+        STATUS.md "Eval steady state"), so the flush ships as few bytes
+        as the protocol allows: windows are bucketed host-side to
+        ``data.max_events`` with a PREFIX validity mask
+        (data/h5.py:329-346), so slicing the event axis to the chunk's
+        max real count loses nothing — at the MVSEC recipe
+        (65536-event buckets, ~8k real events/window) that alone is an
+        8x cut. A small power-of-two ladder keeps the jit cache finite;
+        the validity mask travels as uint8 (4x smaller than f32).
+        """
         if not self._chunk:
             return
         s = self.chunk_windows
         chunk, self._chunk = self._chunk, []
         n_live = len(chunk)
 
-        def stack(key):
+        n_full = chunk[0]["events"].shape[1]
+        n_real = max(int(c["valid"].sum(axis=-1).max()) for c in chunk)
+        n_trim = n_full
+        for bucket in self._EVENT_BUCKETS:
+            if n_real <= bucket < n_full:
+                n_trim = bucket
+                break
+
+        def stack(key, trim=False, dtype=None):
             a = np.stack([c[key] for c in chunk])
+            if trim and n_trim < a.shape[2]:
+                a = a[:, :, :n_trim]
+            if dtype is not None:
+                a = a.astype(dtype)
             if n_live < s:
                 pad = np.zeros((s - n_live, *a.shape[1:]), a.dtype)
                 a = np.concatenate([a, pad])
@@ -415,7 +446,8 @@ class Evaluator:
 
         live = np.zeros(s, np.float32)
         live[:n_live] = 1.0
-        args = [stack("events"), stack("valid"),
+        args = [stack("events", trim=True),
+                stack("valid", trim=True, dtype=np.uint8),
                 jnp.asarray(chunk[0]["aug"]), stack("reset"),
                 jnp.asarray(live)]
         has_gt = "gtflow" in chunk[0]
