@@ -21,11 +21,15 @@ tests/test_conv_dtype.py.
 Env: EVFLOW_CELL_DTYPE = float32 (default) | bfloat16.
 
 A second, orthogonal lever selects the cell implementation
-(EVFLOW_CELL_IMPL = xla | pallas): 'pallas' routes qualifying LIF cells
-(stride 1, odd k, no norm, detach) through the fused conv+LIF Pallas
-kernel (ops/fused_lif_pallas.py) — the north-star fusion over the
+(EVFLOW_CELL_IMPL = xla | pallas | auto): 'pallas' routes qualifying LIF
+cells (stride 1, odd k, no norm, detach) through the fused conv+LIF
+Pallas kernel (ops/fused_lif_pallas.py) — the north-star fusion over the
 reference's conv-then-neuron hot path (spiking_submodules.py:96-126).
-The parameter tree is identical either way, so checkpoints interchange.
+'auto' routes ONLY the shapes where the fused kernel measured faster
+than XLA on v5e (recurrent cells at >=64 channels except the 32x32/c128
+stage — tools/ab_fused_lif.py docstring has the table) and only on a
+TPU-like backend (never the CPU interpreter). The parameter tree is
+identical either way, so checkpoints interchange.
 """
 
 import os
@@ -51,9 +55,24 @@ def cell_compute_dtype():
 
 def set_cell_impl(name):
     global _CELL_IMPL
-    assert name in ("xla", "pallas"), name
+    assert name in ("xla", "pallas", "auto"), name
     _CELL_IMPL = name
 
 
 def cell_impl():
     return _CELL_IMPL
+
+
+def fused_auto_wins(h, w, c, rec):
+    """Shape gate for EVFLOW_CELL_IMPL=auto: True only where the fused
+    conv+LIF kernel measured FASTER than the XLA cells on TPU v5e
+    (tools/ab_fused_lif.py, b8 bf16, device-chained 20-step scan
+    fwd+bwd). Wins: recurrent cells at c64 (128^2 and 64^2, -13%) and
+    c256 (16^2, -18%). Losses: every feedforward shape, c32, and the
+    32^2/c128 stage (where XLA's two-dispatch schedule is already tiny).
+    """
+    if not rec:
+        return False
+    if c == 64:
+        return True
+    return c >= 256 and max(h, w) <= 32

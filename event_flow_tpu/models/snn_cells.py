@@ -110,11 +110,24 @@ class _SpikingBase(nn.Module):
     def _use_fused(self, x, stride, rec=False):
         """Route through the fused conv+LIF Pallas kernel
         (ops/fused_lif_pallas.py) when selected and the shape qualifies
-        (norm options — incl. weight norm — stay on the XLA path)."""
-        if cell_impl() != "pallas":
+        (norm options — incl. weight norm — stay on the XLA path).
+        'auto' additionally requires a TPU-like backend and a shape from
+        the measured-win table (models/policy.py::fused_auto_wins)."""
+        impl = cell_impl()
+        if impl not in ("pallas", "auto"):
             return False
         if stride != 1 or self.norm not in (None, "none") or not self.detach:
             return False
+        if impl == "auto":
+            import jax
+
+            from .policy import fused_auto_wins
+
+            if jax.default_backend() == "cpu":
+                return False
+            if not fused_auto_wins(x.shape[1], x.shape[2], self.features,
+                                   rec):
+                return False
         from ..ops.fused_lif_pallas import fused_lif_available
 
         return fused_lif_available(x.shape, self.kernel_size, stride,

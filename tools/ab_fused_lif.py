@@ -13,6 +13,20 @@ The scan chains steps on device so the ~34.5 ms tunnel round trip is paid
 once per timing read, not per step (see .claude/skills/verify).
 
 Usage: python tools/ab_fused_lif.py [--steps 20] [--iters 5] [--b 8]
+           [--hw 128] [--c 32] [--cells ff,rec] [--variants xla,pallas,...]
+
+Measured crossover (b8, hw128, 3 iters, 2026-08-17 — raw numbers include
+~1.7 ms/step of amortized tunnel rtt; ranking unaffected):
+
+  ConvLIFRecurrent: XLA wins at c32 (2.88 vs 3.98), the FUSED kernel wins
+  at c64 (5.09 vs 4.42, -13%), tie at c128 (5.83 vs 5.90).
+  ConvLIF (ff): XLA wins at every measured width (2.47/2.94/2.81 vs
+  3.32/3.90/3.60 at c32/c64/c128) — without the second conv there is no
+  fusion win to offset the hand-scheduled kernel's overhead.
+
+So the fused kernel's value window is RECURRENT cells at >=64 channels,
+where the MXU lanes fill and keeping patches + both kernels VMEM-resident
+between the two convs beats XLA's two-dispatch schedule.
 """
 
 import argparse
@@ -73,11 +87,17 @@ def main():
     ap.add_argument("--b", type=int, default=8)
     ap.add_argument("--hw", type=int, default=128)
     ap.add_argument("--c", type=int, default=32)
+    ap.add_argument("--cells", default="ff,rec",
+                    help="comma subset of ff,rec")
+    ap.add_argument("--variants", default="xla,pallas,pallas-patches")
     args = ap.parse_args()
 
-    variants = [("xla", "native"), ("pallas", "native"),
-                ("pallas-patches", "patches")]
-    for cell_cls in (ConvLIF, ConvLIFRecurrent):
+    all_variants = {"xla": ("xla", "native"),
+                    "pallas": ("pallas", "native"),
+                    "pallas-patches": ("pallas-patches", "patches")}
+    variants = [all_variants[v] for v in args.variants.split(",")]
+    cells = {"ff": ConvLIF, "rec": ConvLIFRecurrent}
+    for cell_cls in [cells[c] for c in args.cells.split(",")]:
         for impl, bwd in variants:
             ms = bench_cell(cell_cls, impl, bwd, args.b, args.hw, args.c,
                             args.steps, args.iters)
