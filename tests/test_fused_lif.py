@@ -241,3 +241,40 @@ def test_train_step_under_fused_bf16_cells():
     l_fused_bf16 = one("pallas", "bfloat16")
     assert np.isfinite(l_fused_bf16)
     assert abs(l_fused_bf16 - l_ref) < 0.1 * abs(l_ref) + 1e-3
+
+
+def test_auto_gate_routing():
+    """EVFLOW_CELL_IMPL=auto must (a) reproduce the measured-win table
+    (models/policy.py::fused_auto_wins — recurrent c64 everywhere, c>=256
+    only at <=32x32, never feedforward) and (b) never route through the
+    Pallas kernel on the CPU backend, where the kernel would run in the
+    slow interpreter."""
+    from event_flow_tpu.models import policy
+    from event_flow_tpu.models.snn_cells import ConvLIFRecurrent
+
+    # (h, w, c, rec) -> expected
+    table = {
+        (128, 128, 32, True): False,   # XLA wins at c32
+        (64, 64, 64, True): True,      # measured -13%
+        (128, 128, 64, True): True,    # measured -13%
+        (32, 32, 128, True): False,    # measured tie; stay on XLA
+        (16, 16, 256, True): True,     # measured -18%
+        (8, 8, 512, True): True,       # same regime as c256/16x16
+        (64, 64, 64, False): False,    # feedforward never wins
+        (16, 16, 256, False): False,
+    }
+    for (h, w, c, rec), want in table.items():
+        assert policy.fused_auto_wins(h, w, c, rec) == want, (h, w, c, rec)
+
+    # on CPU, auto must fall back to the XLA cells even at a win shape
+    cell = ConvLIFRecurrent(features=64, kernel_size=3)
+    x = jnp.zeros((1, 32, 32, 64))
+    v = jnp.zeros((1, 32, 32, 64))
+    params = cell.init(jax.random.PRNGKey(0), x, (v, v))
+    bound = cell.bind(params)
+    policy.set_cell_impl("auto")
+    try:
+        assert jax.default_backend() == "cpu"
+        assert not bound._use_fused(x, 1, rec=True)
+    finally:
+        policy.set_cell_impl("xla")
