@@ -270,6 +270,34 @@ def main():
                       file=sys.stderr, flush=True)
                 break
 
+    # eval steady-state entry (VERDICT r2 #3): the full ECD-recipe eval
+    # protocol (model + FWL/RSAT association folded into chunked
+    # dispatches) at batch 1. Last in order + guarded: a worker crash
+    # here can't take down the training numbers above.
+    if _ATTEMPT == 0 and os.environ.get("EVFLOW_BENCH_EVAL", "1") != "0":
+        try:
+            import importlib.util
+            import sys
+
+            spec = importlib.util.spec_from_file_location(
+                "bench_eval",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "bench_eval.py"))
+            be = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(be)
+            paths = be.ensure_dataset("/tmp/evflow_eval_bench", 1, 64, "ECD")
+            cfg = be.make_config(1, os.path.dirname(paths[0]), -1, "ECD")
+            _, steady_ms, _, _ = be.run_eval(cfg)
+            if np.isfinite(steady_ms):
+                result["eval_ecd_ms_per_window_b1"] = round(steady_ms, 2)
+                result["eval_ecd_windows_per_sec_b1"] = round(
+                    1e3 / steady_ms, 1)
+        except Exception as e:  # noqa: BLE001 — degraded worker
+            import sys
+
+            print(f"# eval bench failed: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
+
     print(json.dumps(result))
 
 

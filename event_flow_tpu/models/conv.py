@@ -124,27 +124,9 @@ def _conv_im2col_fwd(x, kernel, k):
 
 def _conv_im2col_bwd(k, res, g):
     x, kernel = res
-    p = k // 2
-    g = g.astype(x.dtype)
-    # dx: correlate the cotangent with the spatially flipped, io-swapped
-    # kernel (stride-1 same padding is self-transpose)
-    k_flip = kernel[::-1, ::-1].transpose(0, 1, 3, 2)  # [k,k,Cout,Cin]
-    dx = jax.lax.conv_general_dilated(
-        g, k_flip, (1, 1), ((p, p), (p, p)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    # dw[kh,kw,ci,co] = sum_{b,i,j} x[b,i+kh-p,j+kw-p,ci] * g[b,i,j,co]:
-    # a conv with the batch axis as the contraction ("features") dim
-    xt = jnp.moveaxis(x, (0, 3), (3, 0))  # [Ci, H, W, B]
-    gt = jnp.moveaxis(g, 0, 2)  # [H, W, B, Co]
-    dw = jax.lax.conv_general_dilated(
-        xt, gt, (1, 1), ((p, p), (p, p)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )  # [Ci, k, k, Co]
-    dw = jnp.moveaxis(dw, 0, 2).astype(kernel.dtype)
-    return dx, dw
+    from ..ops.conv_grads import conv_same_grads
+
+    return conv_same_grads(x, kernel, g, k)
 
 
 _conv_im2col.defvjp(_conv_im2col_fwd, _conv_im2col_bwd)

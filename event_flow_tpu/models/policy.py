@@ -26,9 +26,10 @@ cells (stride 1, odd k, no norm, detach) through the fused conv+LIF
 Pallas kernel (ops/fused_lif_pallas.py) — the north-star fusion over the
 reference's conv-then-neuron hot path (spiking_submodules.py:96-126).
 'auto' routes ONLY the shapes where the fused kernel measured faster
-than XLA on v5e (recurrent cells at >=64 channels except the 32x32/c128
-stage — tools/ab_fused_lif.py docstring has the table) and only on a
-TPU-like backend (never the CPU interpreter). The parameter tree is
+than XLA on v5e (recurrent cells at c64, and at c>=256 when the image is
+<=32x32 — tools/ab_fused_lif.py's docstring has the measured table,
+models/policy.py::fused_auto_wins the gate) and only on the TPU backend
+(never the CPU interpreter / other accelerators). The parameter tree is
 identical either way, so checkpoints interchange.
 """
 
@@ -67,9 +68,13 @@ def fused_auto_wins(h, w, c, rec):
     """Shape gate for EVFLOW_CELL_IMPL=auto: True only where the fused
     conv+LIF kernel measured FASTER than the XLA cells on TPU v5e
     (tools/ab_fused_lif.py, b8 bf16, device-chained 20-step scan
-    fwd+bwd). Wins: recurrent cells at c64 (128^2 and 64^2, -13%) and
-    c256 (16^2, -18%). Losses: every feedforward shape, c32, and the
-    32^2/c128 stage (where XLA's two-dispatch schedule is already tiny).
+    fwd+bwd). Measured wins: recurrent cells at c64 (128^2 and 64^2,
+    -13%; other resolutions extrapolated — more rows only help the MXU)
+    and c256 (16^2, -18%; c>=256 at <=32^2 extrapolated from it).
+    Measured losses: every feedforward shape and c32. c128 recurrent is
+    excluded as UNMEASURED: at 128^2 the VMEM gate rejects it (the A/B
+    silently measured XLA-vs-XLA there), and the in-model 32^2 stage has
+    not been benched.
     """
     if not rec:
         return False

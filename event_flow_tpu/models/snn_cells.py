@@ -119,11 +119,10 @@ class _SpikingBase(nn.Module):
         if stride != 1 or self.norm not in (None, "none") or not self.detach:
             return False
         if impl == "auto":
-            import jax
-
             from .policy import fused_auto_wins
 
-            if jax.default_backend() == "cpu":
+            # the kernel is Mosaic-TPU; anything else gets the XLA cells
+            if jax.default_backend() != "tpu":
                 return False
             if not fused_auto_wins(x.shape[1], x.shape[2], self.features,
                                    rec):

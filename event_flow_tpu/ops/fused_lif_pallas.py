@@ -60,28 +60,16 @@ _FUSED_BWD = os.environ.get("EVFLOW_FUSED_BWD", "native")
 
 def _conv_grads(x, w, g, k):
     """(dx, dw) of y = conv_same(x, w) given the output cotangent g,
-    as the direct convs XLA emits for ``lax.conv`` autodiff (see
-    models/conv.py::_conv_im2col_bwd): no im2col patch matrices."""
+    as the direct convs XLA emits for ``lax.conv`` autodiff
+    (ops/conv_grads.py — shared with models/conv.py's im2col VJP): no
+    im2col patch matrices."""
     if _FUSED_BWD == "patches":
         dx = _conv_fwd(g, _flatten_kernel(_flip_transpose_kernel(w)), k)
         dw = _conv_dw(x, g, k).reshape(w.shape)
         return dx, dw
-    p = k // 2
-    g = g.astype(x.dtype)
-    k_flip = w[::-1, ::-1].transpose(0, 1, 3, 2)  # [k,k,Cout,Cin]
-    dx = jax.lax.conv_general_dilated(
-        g, k_flip.astype(x.dtype), (1, 1), ((p, p), (p, p)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    xt = jnp.moveaxis(x, (0, 3), (3, 0))  # [Ci, H, W, B]
-    gt = jnp.moveaxis(g, 0, 2)  # [H, W, B, Co]
-    dw = jax.lax.conv_general_dilated(
-        xt, gt, (1, 1), ((p, p), (p, p)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )  # [Ci, k, k, Co]
-    return dx, jnp.moveaxis(dw, 0, 2).astype(w.dtype)
+    from .conv_grads import conv_same_grads
+
+    return conv_same_grads(x, w, g, k)
 
 
 def fused_lif_available(x_shape, kernel_size, stride, cout=None, rec=False):

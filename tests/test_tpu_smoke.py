@@ -152,8 +152,13 @@ def test_auto_cell_impl_matches_xla(tpu):
     params = cell.init(key, x, (v, z))
 
     # the auto gate must actually fire at this shape on this backend
+    # (checked with the impl set to auto — the default is xla)
     bound = cell.bind(params)
-    assert bound._use_fused(x, 1, rec=True)
+    policy.set_cell_impl("auto")
+    try:
+        assert bound._use_fused(x, 1, rec=True)
+    finally:
+        policy.set_cell_impl("xla")
 
     outs = {}
     for impl in ("xla", "auto"):

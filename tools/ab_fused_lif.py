@@ -15,18 +15,21 @@ once per timing read, not per step (see .claude/skills/verify).
 Usage: python tools/ab_fused_lif.py [--steps 20] [--iters 5] [--b 8]
            [--hw 128] [--c 32] [--cells ff,rec] [--variants xla,pallas,...]
 
-Measured crossover (b8, hw128, 3 iters, 2026-08-17 — raw numbers include
-~1.7 ms/step of amortized tunnel rtt; ranking unaffected):
+Measured crossover (b8, hw128, --iters 3, 2026-08-17 — raw numbers
+include ~1.7 ms/step of amortized tunnel rtt; ranking unaffected):
 
   ConvLIFRecurrent: XLA wins at c32 (2.88 vs 3.98), the FUSED kernel wins
-  at c64 (5.09 vs 4.42, -13%), tie at c128 (5.83 vs 5.90).
+  at c64 (5.09 vs 4.42, -13%) — and at c256/hw16 (-18%, separate run).
   ConvLIF (ff): XLA wins at every measured width (2.47/2.94/2.81 vs
   3.32/3.90/3.60 at c32/c64/c128) — without the second conv there is no
   fusion win to offset the hand-scheduled kernel's overhead.
+  c128 recurrent at hw128 is NOT comparable: the kernel's VMEM gate
+  rejects that shape, so earlier "pallas" timings there silently measured
+  the XLA fallback (the tool now refuses to mislabel gated shapes).
 
-So the fused kernel's value window is RECURRENT cells at >=64 channels,
-where the MXU lanes fill and keeping patches + both kernels VMEM-resident
-between the two convs beats XLA's two-dispatch schedule.
+So the fused kernel's value window is RECURRENT cells where the MXU lanes
+fill (c64; c>=256 at small images), where keeping patches + both kernels
+VMEM-resident between the two convs beats XLA's two-dispatch schedule.
 """
 
 import argparse
@@ -47,6 +50,13 @@ from event_flow_tpu.ops import fused_lif_pallas as _flp
 
 
 def bench_cell(cell_cls, impl, bwd, b, hw, c, steps, iters):
+    if impl.startswith("pallas"):
+        # a gated shape would silently bench the XLA fallback under a
+        # "pallas" label — refuse instead of producing a bogus number
+        rec = cell_cls is ConvLIFRecurrent
+        if not _flp.fused_lif_available((b, hw, hw, c), 3, 1, cout=c,
+                                        rec=rec):
+            return None
     policy.set_cell_impl("pallas" if impl.startswith("pallas") else "xla")
     _flp._FUSED_BWD = bwd
     policy.set_cell_compute_dtype("bfloat16")
@@ -101,6 +111,10 @@ def main():
         for impl, bwd in variants:
             ms = bench_cell(cell_cls, impl, bwd, args.b, args.hw, args.c,
                             args.steps, args.iters)
+            if ms is None:
+                print(f"{cell_cls.__name__:18s} {impl:15s} "
+                      "   SKIP (VMEM gate -> XLA fallback)", flush=True)
+                continue
             print(f"{cell_cls.__name__:18s} {impl:15s} "
                   f"{ms:7.3f} ms/step (fwd+bwd)", flush=True)
 
