@@ -17,11 +17,14 @@ def count_params(params):
     return sum(p.size for p in jax.tree_util.tree_leaves(params))
 
 
-def describe_model(model, params):
+def describe_model(model, params, name=None):
     """Model summary string with the trainable parameter count — the
     reference's ``BaseModel.__str__`` (models/base.py:11-31) for the
-    functional world, where params live outside the module."""
-    return (f"{type(model).__name__}\n"
+    functional world, where params live outside the module. Pass the
+    registry ``name`` to report the variant (all FireNet-family variants
+    share one parameterized flax class, so the type name alone would
+    print ``FireNet`` for e.g. LIFFireNet)."""
+    return (f"{name or type(model).__name__}\n"
             f"Trainable parameters: {count_params(params)}")
 
 

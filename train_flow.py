@@ -59,7 +59,8 @@ def train(args):
 
     trainer = Trainer(config, tracker=tracker, mesh=mesh, vis=vis)
     from event_flow_tpu.models.model_util import describe_model
-    print(describe_model(trainer.model, trainer.state.params))
+    print(describe_model(trainer.model, trainer.state.params,
+                         name=config["model"]["name"]))
     if args.prev_runid:
         trainer.load_params(os.path.join(args.runs_root, args.prev_runid))
         print(f"restored params from {args.prev_runid}")
@@ -96,11 +97,13 @@ def train(args):
             stream.samples += config["loader"]["batch_size"]
             if verbose:
                 # running_mean covers the updates whose device results have
-                # landed (the Trainer keeps 2 updates in flight)
+                # landed (the Trainer keeps 2 updates in flight; show a
+                # placeholder until the first one does)
+                mean = (f"{trainer.running_mean():.6f}"
+                        if trainer.synced_updates else "--")
                 print(
                     f"Epoch {epoch:04d} [{stream.seq_num:03d}/"
-                    f"{len(stream.files):03d}] loss "
-                    f"{trainer.running_mean():.6f}",
+                    f"{len(stream.files):03d}] loss {mean}",
                     end="\r",
                 )
             if args.max_updates and trainer.updates >= args.max_updates:
@@ -187,4 +190,8 @@ if __name__ == "__main__":
         from event_flow_tpu.models.policy import set_cell_compute_dtype
         set_conv_compute_dtype("bfloat16")
         set_cell_compute_dtype("bfloat16")
+        # the measured-best remat pairing: saving the (now bf16) named
+        # conv outputs undercuts both the conv recompute and the f32
+        # accumulator saves (STATUS.md ladder; overridable via env)
+        os.environ.setdefault("EVFLOW_REMAT", "convs")
     train(args)
