@@ -232,7 +232,21 @@ def bench_model(model_name, rtt_s):
 
 
 def main():
+    # Watchdog stage 1: the tunnel worker has a failure mode where even
+    # backend init (jax.devices()) hangs indefinitely — no exception, no
+    # progress. Arm a short alarm around first device contact so a hung
+    # worker turns into the same cooldown+re-exec path as a crash.
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError("UNAVAILABLE: TPU worker hang (watchdog)")
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(420)
     rtt_s = _measure_rtt_s()
+    # Watchdog stage 2: generous budget for the compile-heavy benches
+    # (a healthy 3-model run is ~20-25 min through the tunnel).
+    signal.alarm(3000)
     flagship = bench_model("LIFFireNet", rtt_s)
 
     cfg_tag = f"b{B}" + (f" mb{MB}" if MB else "") + f" S{S}"
@@ -298,6 +312,7 @@ def main():
             print(f"# eval bench failed: {type(e).__name__}",
                   file=sys.stderr, flush=True)
 
+    signal.alarm(0)
     print(json.dumps(result))
 
 
