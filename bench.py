@@ -299,13 +299,17 @@ def main():
                              "tools", "bench_eval.py"))
             be = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(be)
-            paths = be.ensure_dataset("/tmp/evflow_eval_bench", 1, 64, "ECD")
-            cfg = be.make_config(1, os.path.dirname(paths[0]), -1, "ECD")
-            _, steady_ms, _, _ = be.run_eval(cfg)
-            if np.isfinite(steady_ms):
-                result["eval_ecd_ms_per_window_b1"] = round(steady_ms, 2)
-                result["eval_ecd_windows_per_sec_b1"] = round(
-                    1e3 / steady_ms, 1)
+            for recipe in ("ECD", "MVSEC"):
+                paths = be.ensure_dataset("/tmp/evflow_eval_bench", 1, 64,
+                                          recipe)
+                cfg = be.make_config(1, os.path.dirname(paths[0]), -1,
+                                     recipe)
+                _, steady_ms, _, _ = be.run_eval(cfg)
+                if np.isfinite(steady_ms):
+                    key = f"eval_{recipe.lower()}_ms_per_window_b1"
+                    result[key] = round(steady_ms, 2)
+                    result[f"eval_{recipe.lower()}_windows_per_sec_b1"] = (
+                        round(1e3 / steady_ms, 1))
         except Exception as e:  # noqa: BLE001 — degraded worker
             import sys
 
