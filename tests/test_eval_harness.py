@@ -178,3 +178,31 @@ def test_chunked_matches_per_window(dataset, mode, window, metrics):
             assert results["chunked"][metric][fname] == pytest.approx(
                 val, rel=1e-5, abs=1e-6
             ), (metric, fname)
+
+
+def test_gt_f16_transfer_matches_f32(dataset):
+    """EVFLOW_EVAL_GT_DTYPE=float16 ships the GT flow maps compact (the
+    MVSEC transfer floor, see harness._flush_chunk) and must reproduce
+    the f32 AEE well inside the 1% parity bar."""
+    import os
+
+    results = {}
+    for tag in ("f32", "f16"):
+        os.environ["EVFLOW_EVAL_CHUNK"] = "4"
+        if tag == "f16":
+            os.environ["EVFLOW_EVAL_GT_DTYPE"] = "float16"
+        try:
+            cfg = _config(dataset, "gtflow_dt1", 1, window_eval=None,
+                          metrics=("AEE",))
+            ev = Evaluator(cfg, DecayFlowModel(0.4, 0.2), params={})
+            stream = EventStream(cfg)
+            results[tag] = ev.run(stream)
+            stream.close()
+        finally:
+            del os.environ["EVFLOW_EVAL_CHUNK"]
+            os.environ.pop("EVFLOW_EVAL_GT_DTYPE", None)
+    for metric in results["f32"]:
+        for fname, val in results["f32"][metric].items():
+            assert results["f16"][metric][fname] == pytest.approx(
+                val, rel=2e-3, abs=1e-5
+            ), (metric, fname)
