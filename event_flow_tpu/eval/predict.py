@@ -11,6 +11,8 @@ eval loop (reference: eval_flow.py:119-152) without metrics machinery.
     engine.reset()                         # at sequence changes
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -79,6 +81,38 @@ class InferenceEngine:
         )
         self.last_iwe = iwe
         return flow
+
+    def step_many(self, events, valid=None):
+        """Throughput form of ``step``: S windows in ONE dispatch via a
+        device-side scan (the recurrent state still carries window to
+        window, exactly as S ``step`` calls would). On a tunneled host
+        this pays the ~35 ms dispatch round trip once per S windows
+        instead of once per window — the serving analogue of the eval
+        harness's chunked dispatch (eval/harness.py::_chunk_step).
+
+        events: [S, N, 4] or [S, B, N, 4]; returns flow [S, B, H, W, 2].
+        """
+        ev = jnp.asarray(events)
+        if ev.ndim == 3:
+            ev = ev[:, None]
+        if valid is None:
+            valid = jnp.ones(ev.shape[:3])
+        self._state, self._hot, flows = self._step_many(
+            self.params, self._state, self._hot, ev, valid
+        )
+        return flows
+
+    @partial(jax.jit, static_argnums=0)
+    def _step_many(self, params, state, hot, events, valid):
+        def body(carry, xs):
+            st, h = carry
+            ev, va = xs
+            st, h, flow, _ = self._fn(params, st, h, ev, va)
+            return (st, h), flow
+
+        (state, hot), flows = jax.lax.scan(body, (state, hot),
+                                           (events, valid))
+        return state, hot, flows
 
     def reset(self):
         """Sequence boundary (reference: eval_flow.py:123-126)."""

@@ -202,3 +202,44 @@ def test_describe_model_param_count():
     assert n > 0
     s = describe_model(model, params)
     assert "FireNet" in s and str(n) in s
+
+
+def test_inference_engine_step_many_matches_step():
+    """step_many (S windows, one device-scanned dispatch) must reproduce
+    S sequential step() calls exactly, including the recurrent carry."""
+    from event_flow_tpu.config.parser import default_config
+    from event_flow_tpu.data.synthetic import constant_flow_window
+    from event_flow_tpu.eval.predict import InferenceEngine
+    from event_flow_tpu.models.registry import get_model
+
+    res = (16, 16)
+    cfg = default_config()
+    cfg["loader"]["resolution"] = list(res)
+    cfg["model"] = {
+        "name": "LIFFireNet", "encoding": "cnt", "num_bins": 2,
+        "base_num_channels": 4, "kernel_size": 3, "mask_output": True,
+        "activations": ["arctanspike", "arctanspike"],
+        "spiking_neuron": {"leak": [-4.0, 0.1], "thresh": [0.8, 0.1]},
+    }
+    model = get_model("LIFFireNet", cfg["model"])
+    state = model.zero_state(1, *res)
+    x = jnp.zeros((1, *res, 2))
+    params = model.init(jax.random.PRNGKey(0), x, x, state)
+
+    rng = np.random.default_rng(1)
+    windows = np.stack(
+        [constant_flow_window(rng, 200, res, (1.0, -1.0), 8)
+         for _ in range(4)]
+    )  # [S, N, 4]
+
+    eng_a = InferenceEngine(cfg, model, params)
+    seq = np.stack([np.asarray(eng_a.step(w)) for w in windows])
+
+    eng_b = InferenceEngine(cfg, model, params)
+    many = np.asarray(eng_b.step_many(windows))  # [S, 1, H, W, 2]
+
+    np.testing.assert_allclose(many, seq, rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(eng_a._state),
+                    jax.tree_util.tree_leaves(eng_b._state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
