@@ -270,6 +270,10 @@ def main():
         for name, key in (("RecEVFlowNet", "recevflownet"),
                           ("SpikingRecEVFlowNet", "spikingrecevflownet")):
             try:
+                # re-arm per stage: a swallowed watchdog TimeoutError
+                # consumes the (one-shot) alarm, and the next stage would
+                # otherwise dispatch to a hung worker unprotected
+                signal.alarm(1200)
                 r = bench_model(name, rtt_s)
                 result[f"{key}_windows_per_sec"] = round(
                     r["windows_per_sec"], 2)
@@ -290,6 +294,7 @@ def main():
     # here can't take down the training numbers above.
     if _ATTEMPT == 0 and os.environ.get("EVFLOW_BENCH_EVAL", "1") != "0":
         try:
+            signal.alarm(900)  # fresh watchdog for the eval stage
             import importlib.util
             import sys
 
@@ -332,6 +337,11 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # jax runtime errors don't share a base class
+        # cancel any pending watchdog alarm: it must not fire inside the
+        # cooldown sleep or survive execv into the re-exec'd child
+        import signal as _signal
+
+        _signal.alarm(0)
         transient = "UNAVAILABLE" in str(e) or "crashed" in str(e)
         if transient and attempt < 3:
             print(f"# TPU worker unavailable (attempt {attempt + 1}); "

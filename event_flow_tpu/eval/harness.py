@@ -79,8 +79,6 @@ class Evaluator:
 
         # chunked fast path: S = L*K windows per dispatch; only when no
         # per-window host output (vis/activity) is consumed
-        import os
-
         chunk_groups = int(os.environ.get("EVFLOW_EVAL_CHUNK", "-1"))
         if chunk_groups < 0:
             chunk_groups = max(1, 8 // self.k_windows)

@@ -11,8 +11,6 @@ eval loop (reference: eval_flow.py:119-152) without metrics machinery.
     engine.reset()                         # at sequence changes
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -40,7 +38,11 @@ class InferenceEngine:
         self._cdtype = cell_compute_dtype()
         self._state = model.zero_state(batch, *self.res, dtype=self._cdtype)
         self._hot = init_hot_state(batch, self.res)
+        # instance-owned jits (not decorated methods): the compiled
+        # executables are GC'd with the engine instead of keying `self`
+        # (and the params it references) into jax's global jit cache
         self._step = jax.jit(self._fn)
+        self._step_many_jit = jax.jit(self._many_fn)
 
     def _fn(self, params, state, hot, events, valid):
         enc = encode_window(events, self.res, self.num_bins, valid=valid,
@@ -97,13 +99,12 @@ class InferenceEngine:
             ev = ev[:, None]
         if valid is None:
             valid = jnp.ones(ev.shape[:3])
-        self._state, self._hot, flows = self._step_many(
+        self._state, self._hot, flows = self._step_many_jit(
             self.params, self._state, self._hot, ev, valid
         )
         return flows
 
-    @partial(jax.jit, static_argnums=0)
-    def _step_many(self, params, state, hot, events, valid):
+    def _many_fn(self, params, state, hot, events, valid):
         def body(carry, xs):
             st, h = carry
             ev, va = xs

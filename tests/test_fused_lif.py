@@ -257,7 +257,8 @@ def test_auto_gate_routing():
         (128, 128, 32, True): False,   # XLA wins at c32
         (64, 64, 64, True): True,      # measured -13%
         (128, 128, 64, True): True,    # measured -13%
-        (32, 32, 128, True): False,    # measured tie; stay on XLA
+        (32, 32, 128, True): False,    # UNMEASURED (the hw128 A/B was
+                                       # VMEM-gated to XLA); stay on XLA
         (16, 16, 256, True): True,     # measured -18%
         (8, 8, 512, True): True,       # same regime as c256/16x16
         (64, 64, 64, False): False,    # feedforward never wins
