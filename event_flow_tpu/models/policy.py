@@ -74,9 +74,11 @@ def fused_auto_wins(h, w, c, rec):
     Measured losses: every feedforward shape and c32. c128 recurrent is
     excluded as UNMEASURED: at 128^2 the VMEM gate rejects it (the A/B
     silently measured XLA-vs-XLA there), and the in-model 32^2 stage has
-    not been benched.
+    not been benched. Heights not divisible by 8 are excluded too: the
+    kernel's row tile degrades to 2/1 there (e.g. the ECD recipe's 90-row
+    encoder stage), far from any measured configuration.
     """
-    if not rec:
+    if not rec or h % 8:
         return False
     if c == 64:
         return True

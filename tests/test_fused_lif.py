@@ -263,6 +263,7 @@ def test_auto_gate_routing():
         (8, 8, 512, True): True,       # same regime as c256/16x16
         (64, 64, 64, False): False,    # feedforward never wins
         (16, 16, 256, False): False,
+        (90, 120, 64, True): False,    # h % 8 != 0: row tile degrades
     }
     for (h, w, c, rec), want in table.items():
         assert policy.fused_auto_wins(h, w, c, rec) == want, (h, w, c, rec)
