@@ -179,5 +179,12 @@ if __name__ == "__main__":
         help="reference torch checkpoint (model.pth / state_dict / MLflow "
              "run dir) to evaluate instead of this run's checkpoints",
     )
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (e.g. when the TPU worker "
+                         "is unavailable)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     test(args)

@@ -184,7 +184,15 @@ if __name__ == "__main__":
     ap.add_argument("--bf16", action="store_true",
                     help="mixed precision: bf16 conv operands + cell "
                          "compute, f32 params/loss (models/policy.py)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (e.g. when the TPU worker "
+                         "is unavailable); must win over any platform pin, "
+                         "so it is applied before any computation")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.bf16:
         from event_flow_tpu.models.conv import set_conv_compute_dtype
         from event_flow_tpu.models.policy import set_cell_compute_dtype
