@@ -49,6 +49,14 @@ def test(args):
     if stored:
         config = parser.merge_configs(stored)
 
+    if getattr(args, "synthetic", False):
+        # datasetless smoke evaluation: materialize (cached) synthetic
+        # sequences matching the config's mode/resolution
+        from event_flow_tpu.data.synthetic import ensure_synthetic_dataset
+
+        config["data"]["path"] = ensure_synthetic_dataset(config)
+        print(f"synthetic dataset: {config['data']['path']}")
+
     # asserts (reference: eval_flow.py:53-72)
     metrics = config.get("metrics", {}).get("name", [])
     if "AEE" in metrics:
@@ -179,6 +187,9 @@ if __name__ == "__main__":
         help="reference torch checkpoint (model.pth / state_dict / MLflow "
              "run dir) to evaluate instead of this run's checkpoints",
     )
+    ap.add_argument("--synthetic", action="store_true",
+                    help="evaluate on cached synthetic sequences matching "
+                         "the config's mode/resolution (no dataset needed)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (e.g. when the TPU worker "
                          "is unavailable)")

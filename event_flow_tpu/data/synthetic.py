@@ -10,9 +10,15 @@ reference's tools/demo_iwe.py:69-91 demonstrates), which makes these
 streams a training-signal smoke test as well as a benchmark workload.
 """
 
+import os
+
 import numpy as np
 
-__all__ = ["constant_flow_window", "synthetic_window_stream"]
+__all__ = [
+    "constant_flow_window",
+    "synthetic_window_stream",
+    "ensure_synthetic_dataset",
+]
 
 
 def constant_flow_window(rng, n_events, res, velocity, sharp_points=64):
@@ -66,3 +72,55 @@ def synthetic_window_stream(seed, batch, n_events, res, num_windows,
             ]
         )
         yield out  # [B, T, N, 4]
+
+
+def ensure_synthetic_dataset(config, root=None, n_sequences=2,
+                             n_windows=8.0):
+    """Materialize (once, cached) a synthetic on-disk dataset matching an
+    eval config's mode/resolution, and return its directory.
+
+    Sized so each sequence yields ~``n_windows`` eval windows: in
+    ``events`` mode that is n_windows * window_eval events; in the gtflow
+    modes, GT maps at 10 Hz over enough duration for n_windows map
+    intervals. Backs ``eval_flow.py --synthetic`` (datasetless smoke
+    evaluation — the eval analogue of ``train_flow.py --synthetic``).
+    """
+    from .schema import write_synthetic_sequence
+
+    mode = config["data"]["mode"]
+    res = tuple(int(r) for r in config["loader"]["resolution"])
+    window = float(config["data"].get("window", 5000))
+    window_eval = float(config["data"].get("window_eval", window))
+
+    key = f"{mode}_{res[0]}x{res[1]}_{int(window_eval)}_{n_sequences}"
+    root = root or os.path.join("/tmp", "evflow_synth_eval")
+    path = os.path.join(root, key)
+    done = os.path.join(path, ".complete")
+    if os.path.isfile(done):
+        return path + os.sep
+    os.makedirs(path, exist_ok=True)
+
+    gt_hz = 10.0
+    if mode.startswith("gtflow"):
+        intervals = n_windows * (4.0 if mode == "gtflow_dt4" else 1.0)
+        duration = max(1.0, intervals / gt_hz)
+        n_events = int(duration * 30000)
+    else:  # events / time / frames: fixed-count or fixed-time windows
+        duration = max(1.0, n_windows * window / 15000.0)
+        n_events = int(max(n_windows * window_eval,
+                           n_windows * window, 20000))
+    for i in range(n_sequences):
+        write_synthetic_sequence(
+            os.path.join(path, f"seq_{chr(ord('a') + i)}.h5"),
+            res=res,
+            n_events=n_events,
+            duration=duration,
+            velocity=((1.5 + i, 3.0 - i)),
+            seed=i,
+            gt_flow_hz=gt_hz if mode.startswith("gtflow") else None,
+            gt_flow_dt4_interval=(4.0 / gt_hz if mode == "gtflow_dt4"
+                                  else None),
+        )
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return path + os.sep

@@ -243,3 +243,45 @@ def test_inference_engine_step_many_matches_step():
                     jax.tree_util.tree_leaves(eng_b._state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_ensure_synthetic_dataset(tmp_path):
+    """eval_flow --synthetic's dataset builder: correct schema per mode,
+    cached on second call, streamable."""
+    from event_flow_tpu.config.parser import default_config
+    from event_flow_tpu.data.h5 import EventStream
+    from event_flow_tpu.data.synthetic import ensure_synthetic_dataset
+
+    cfg = default_config()
+    cfg["loader"]["resolution"] = [16, 16]
+    cfg["loader"]["batch_size"] = 1
+    cfg["data"]["mode"] = "events"
+    cfg["data"]["window"] = 500
+    cfg["data"]["window_eval"] = 500
+    root = str(tmp_path / "synth")
+    path = ensure_synthetic_dataset(cfg, root=root)
+    assert sorted(os.listdir(path.rstrip(os.sep))) == [
+        ".complete", "seq_a.h5", "seq_b.h5"]
+    # cached: second call returns without rewriting
+    mtime = os.path.getmtime(os.path.join(path, "seq_a.h5"))
+    assert ensure_synthetic_dataset(cfg, root=root) == path
+    assert os.path.getmtime(os.path.join(path, "seq_a.h5")) == mtime
+    cfg["data"]["path"] = path
+    stream = EventStream(cfg)
+    batch = stream.next_batch()
+    assert batch["events"].shape[-1] == 4
+    stream.close()
+
+    # gtflow_dt4 mode writes flow_dt4 maps at the right shape
+    import h5py
+
+    cfg4 = default_config()
+    cfg4["loader"]["resolution"] = [16, 16]
+    cfg4["data"]["mode"] = "gtflow_dt4"
+    cfg4["data"]["window"] = 1
+    path4 = ensure_synthetic_dataset(cfg4, root=root)
+    with h5py.File(os.path.join(path4, "seq_a.h5")) as f:
+        names = sorted(f["flow_dt4"])
+        assert len(names) >= 3
+        d = f["flow_dt4"][names[0]]
+        assert d.shape == (2, 16, 16) and "timestamp" in d.attrs
