@@ -344,10 +344,14 @@ if __name__ == "__main__":
         _signal.alarm(0)
         transient = "UNAVAILABLE" in str(e) or "crashed" in str(e)
         if transient and attempt < 3:
+            # escalating cooldowns: crash mode recovers in ~5-10 min, but
+            # the total-outage mode (worker needs an external restart) can
+            # take much longer — later attempts wait longer
+            cooldown = (240, 420, 900)[attempt]
             print(f"# TPU worker unavailable (attempt {attempt + 1}); "
-                  "cooling down 240s and re-exec'ing", file=sys.stderr,
-                  flush=True)
-            _time.sleep(240)
+                  f"cooling down {cooldown}s and re-exec'ing",
+                  file=sys.stderr, flush=True)
+            _time.sleep(cooldown)
             os.environ["EVFLOW_BENCH_ATTEMPT"] = str(attempt + 1)
             os.execv(sys.executable, [sys.executable] + sys.argv)
         raise

@@ -32,5 +32,9 @@ print(os.environ.get("EVFLOW_CELL_IMPL"),
 PY
 done
 
-# 4. full bench (also warms /tmp/jaxcache for the driver's round-end run)
+# 4. serialized serving artifact cross-platform check: export on CPU,
+#    serve the same artifact on the chip, outputs must agree
+timeout 900 python tools/serialized_crosscheck.py 2>&1 | tail -4 | tee /tmp/chip_serialized.log
+
+# 5. full bench (also warms /tmp/jaxcache for the driver's round-end run)
 timeout 3600 python bench.py 2>&1 | tail -3 | tee /tmp/chip_bench.log
