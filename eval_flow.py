@@ -114,7 +114,15 @@ def test(args):
     if config.get("vis", {}).get("enabled") or config.get("vis", {}).get("store"):
         vis = Visualization(config, eval_id=eval_id, path_results=path_results)
 
-    evaluator = Evaluator(config, model, params)
+    mesh = None
+    if getattr(args, "dp", False):
+        from event_flow_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        n = max(d for d in range(1, n + 1) if b % d == 0)
+        mesh = make_mesh(n)
+        print(f"data-parallel eval: {b} slots over {n} devices")
+    evaluator = Evaluator(config, model, params, mesh=mesh)
     stream = EventStream(config)
     hot_state = init_hot_state(b, res)
     model_state = state
@@ -187,6 +195,9 @@ if __name__ == "__main__":
         help="reference torch checkpoint (model.pth / state_dict / MLflow "
              "run dir) to evaluate instead of this run's checkpoints",
     )
+    ap.add_argument("--dp", action="store_true",
+                    help="data-parallel eval: shard the batch slots over "
+                         "all visible devices (batch_size % devices == 0)")
     ap.add_argument("--synthetic", action="store_true",
                     help="evaluate on cached synthetic sequences matching "
                          "the config's mode/resolution (no dataset needed)")

@@ -41,10 +41,23 @@ __all__ = ["Evaluator"]
 
 
 class Evaluator:
-    def __init__(self, config, model, params, metrics=None):
+    def __init__(self, config, model, params, metrics=None, mesh=None):
+        """``mesh``: optional 1-D ``data`` mesh — batch slots (each slot
+        streams its own file, reference h5.py:51-68) shard across devices
+        and XLA SPMD runs the whole window/chunk step data-parallel; the
+        per-file metric protocol is unchanged (slots are independent).
+        Requires ``loader.batch_size`` divisible by the mesh size."""
         self.config = config
         self.model = model
         self.params = params
+        self.mesh = mesh
+        if mesh is not None:
+            b = config["loader"]["batch_size"]
+            assert b % mesh.size == 0, (
+                f"batch_size {b} must divide over the {mesh.size}-device "
+                "data mesh"
+            )
+        self._params_cache = None
         self.res = tuple(config["loader"]["resolution"])
         self.num_bins = config["model"]["num_bins"]
         self.flow_scaling = config.get("metrics", {}).get("flow_scaling", 128)
@@ -94,6 +107,39 @@ class Evaluator:
         self._chunk_state = None  # (model_state, hot_state) at chunk start
         self._chunk_reset = False
         self._chunk_step_jit = jax.jit(self._chunk_step)
+
+    # -- mesh placement ----------------------------------------------------
+
+    def _put(self, a, axis=None):
+        """Place one array for the data mesh: ``axis`` (the batch-slot
+        axis) shards over ``data``; None replicates. No-op without a
+        mesh."""
+        a = jnp.asarray(a)
+        if self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = [None] * a.ndim
+        if axis is not None:
+            spec[axis] = "data"
+        return jax.device_put(
+            a, NamedSharding(self.mesh, PartitionSpec(*spec))
+        )
+
+    def _put_state(self, tree):
+        """Shard every state leaf's leading (batch) axis over ``data``."""
+        if self.mesh is None:
+            return tree
+        return jax.tree_util.tree_map(lambda x: self._put(x, 0), tree)
+
+    def _put_params(self, params):
+        """Replicate params across the mesh (cached by identity)."""
+        if self.mesh is None:
+            return params
+        if self._params_cache is None or self._params_cache[0] is not params:
+            placed = jax.tree_util.tree_map(self._put, params)
+            self._params_cache = (params, placed)
+        return self._params_cache[1]
 
     # -- jitted per-window step ------------------------------------------
 
@@ -323,9 +369,10 @@ class Evaluator:
         if batch["new_seq"]:
             self.reset()
         model_state, hot_state, win = self._step(
-            params, model_state, hot_state,
-            jnp.asarray(batch["events"]), jnp.asarray(batch["valid"]),
-            jnp.asarray(batch["aug_flags"]), reset,
+            self._put_params(params), self._put_state(model_state),
+            self._put_state(hot_state),
+            self._put(batch["events"], 0), self._put(batch["valid"], 0),
+            self._put(batch["aug_flags"], 0), self._put(reset, 0),
         )
         self._buffers.append(win)
         vis = {"flow": win["flow_last"], "iwe": win["iwe"],
@@ -444,14 +491,14 @@ class Evaluator:
             if n_live < s:
                 pad = np.zeros((s - n_live, *a.shape[1:]), a.dtype)
                 a = np.concatenate([a, pad])
-            return jnp.asarray(a)
+            return self._put(a, 1)  # [S, B, ...]: slot axis shards
 
         live = np.zeros(s, np.float32)
         live[:n_live] = 1.0
         args = [stack("events", trim=True),
                 stack("valid", trim=True, dtype=np.uint8),
-                jnp.asarray(chunk[0]["aug"]), stack("reset"),
-                jnp.asarray(live)]
+                self._put(chunk[0]["aug"], 0), stack("reset"),
+                self._put(live)]
         has_gt = "gtflow" in chunk[0]
         if "AEE" in self.metrics and has_gt:
             # GT flow maps are the remaining transfer floor at the MVSEC
@@ -464,7 +511,10 @@ class Evaluator:
             args += [stack("gtflow", dtype=gt_dt), stack("dt_input"),
                      stack("dt_gt")]
         ms, hs = self._chunk_state
-        ms, hs, res = self._chunk_step_jit(params, ms, hs, *args)
+        ms, hs, res = self._chunk_step_jit(
+            self._put_params(params), self._put_state(ms),
+            self._put_state(hs), *args,
+        )
         self._chunk_state = (ms, hs)
 
         k = self.k_windows

@@ -206,3 +206,44 @@ def test_gt_f16_transfer_matches_f32(dataset):
             assert results["f16"][metric][fname] == pytest.approx(
                 val, rel=2e-3, abs=1e-5
             ), (metric, fname)
+
+
+@pytest.mark.parametrize("chunk", ["1", "4"])
+def test_mesh_eval_matches_single_device(dataset, chunk):
+    """Data-parallel eval (batch slots sharded over a 2-device 'data'
+    mesh) reproduces the mesh-free run exactly, in both the per-window
+    and the chunked dispatch paths, with sharded recurrent state."""
+    import os
+
+    from event_flow_tpu.parallel.mesh import make_mesh
+
+    results = {}
+    for tag in ("plain", "mesh"):
+        os.environ["EVFLOW_EVAL_CHUNK"] = chunk
+        try:
+            cfg = _config(dataset, "events", 1000, window_eval=2000)
+            cfg["loader"]["batch_size"] = 2  # one slot per file
+            mesh = make_mesh(2) if tag == "mesh" else None
+            ev = Evaluator(cfg, DecayFlowModel(0.4, 0.2), params={},
+                           mesh=mesh)
+            stream = EventStream(cfg)
+            results[tag] = ev.run(stream)
+            stream.close()
+        finally:
+            del os.environ["EVFLOW_EVAL_CHUNK"]
+    for metric in results["plain"]:
+        assert set(results["mesh"][metric]) == set(results["plain"][metric])
+        for fname, val in results["plain"][metric].items():
+            assert results["mesh"][metric][fname] == pytest.approx(
+                val, rel=1e-5, abs=1e-6
+            ), (metric, fname)
+
+
+def test_mesh_eval_rejects_indivisible_batch(dataset):
+    from event_flow_tpu.parallel.mesh import make_mesh
+
+    cfg = _config(dataset, "events", 1000)
+    cfg["loader"]["batch_size"] = 3
+    with pytest.raises(AssertionError, match="divide"):
+        Evaluator(cfg, ConstFlowModel(0.1, 0.1), params={},
+                  mesh=make_mesh(2))
