@@ -23,7 +23,15 @@ __all__ = ["InferenceEngine"]
 
 
 class InferenceEngine:
-    def __init__(self, config, model, params, batch=1, with_iwe=False):
+    def __init__(self, config, model, params, batch=1, with_iwe=False,
+                 quantize=None):
+        """``quantize='int8'``: serve with int8 convs (per-channel weight
+        scales, dynamic per-tensor activation scale — models/conv.py
+        ``_conv2d_int8``). The v5e MXU runs int8 at 2x its bf16 rate and
+        operand bytes halve; hidden-layer spike inputs quantize exactly.
+        Scoped to this engine's traces — concurrent engines are
+        unaffected."""
+        self.quantize = quantize
         self.res = tuple(config["loader"]["resolution"])
         self.num_bins = config["model"]["num_bins"]
         self.model = model
@@ -54,12 +62,23 @@ class InferenceEngine:
                 min_obvs=self.hot_cfg.get("min_obvs", 5),
                 max_rate=self.hot_cfg.get("max_rate", 0.8),
             )
-        out, state = self.model.apply(
-            params,
-            enc["event_voxel"].astype(self._cdtype),
-            enc["event_cnt"].astype(self._cdtype),
-            state,
-        )
+        from ..models import conv as _conv
+
+        # trace-time scoped quant policy: this body runs while jax traces
+        # the jitted step, so flipping the module policy here (and
+        # restoring it) quantizes exactly this engine's convs
+        prev = _conv._CONV_QUANT
+        if self.quantize:
+            _conv._CONV_QUANT = self.quantize
+        try:
+            out, state = self.model.apply(
+                params,
+                enc["event_voxel"].astype(self._cdtype),
+                enc["event_cnt"].astype(self._cdtype),
+                state,
+            )
+        finally:
+            _conv._CONV_QUANT = prev
         flow = out["flow"][-1].astype(jnp.float32)
         iwe = None
         if self.with_iwe:

@@ -25,7 +25,8 @@ from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
 __all__ = ["Conv2d", "ConvTranspose2dX2", "conv2d_fn",
-           "torch_conv_kernel_init", "set_conv_compute_dtype"]
+           "torch_conv_kernel_init", "set_conv_compute_dtype",
+           "set_conv_quant"]
 
 # Conv compute precision policy: 'float32' (default, parity) or 'bfloat16'
 # (TPU MXU fast path; accumulation stays f32 via preferred_element_type).
@@ -63,6 +64,63 @@ def set_conv_impl(name):
     global _CONV_IMPL
     assert name in ("xla", "im2col", "pallas", "auto"), name
     _CONV_IMPL = name
+
+
+# Serving-only int8 quantization policy ('none' | 'int8'). The v5e MXU
+# runs int8 matmuls at 2x its bf16 rate (394 vs 197 TOPS) and the
+# operand bytes halve vs bf16; spiking models quantize especially well
+# because every hidden conv's input is BINARY spikes (exact at any
+# scale). Inference-only: round() has zero gradient, so training paths
+# must keep this off.
+_CONV_QUANT = os.environ.get("EVFLOW_CONV_QUANT", "none")
+
+
+def set_conv_quant(name):
+    global _CONV_QUANT
+    assert name in ("none", "int8"), name
+    _CONV_QUANT = name
+
+
+def _quantize_sym(a, axes, signed_max=127.0):
+    """Symmetric linear quantization: returns (int8 values, f32 scale)
+    with scale shaped to broadcast back over ``a``."""
+    scale = jnp.max(jnp.abs(a), axis=axes, keepdims=True) / signed_max
+    scale = jnp.maximum(scale.astype(jnp.float32), 1e-12)
+    q = jnp.clip(jnp.round(a.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _conv2d_int8(x, kernel, stride, pad):
+    """int8 x int8 -> int32 conv: per-output-channel weight scales,
+    dynamic per-tensor activation scale. The integer accumulation is
+    exact, so the only error vs f32 is the input rounding (zero for
+    binary spike inputs)."""
+    w_i8, w_scale = _quantize_sym(kernel, (0, 1, 2))  # [1,1,1,Cout]
+    x_i8, a_scale = _quantize_sym(x, None)
+    k = kernel.shape[0]
+    if stride == 1 and k % 2 == 1 and _conv_impl_for(x.shape, k, 1) != "xla":
+        # im2col form: one [B*H*W, k*k*C] @ [k*k*C, O] int8 matmul
+        b, h, w, cin = x.shape
+        cout = kernel.shape[-1]
+        xp = jnp.pad(x_i8, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        patches = [
+            xp[:, dy:dy + h, dx:dx + w, :]
+            for dy in range(k) for dx in range(k)
+        ]
+        pm = jnp.concatenate(patches, axis=-1).reshape(b * h * w,
+                                                       k * k * cin)
+        y = jax.lax.dot(pm, w_i8.reshape(k * k * cin, cout),
+                        preferred_element_type=jnp.int32)
+        y = y.reshape(b, h, w, cout)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x_i8, w_i8,
+            window_strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+    return y.astype(jnp.float32) * (a_scale * w_scale.reshape(1, 1, 1, -1))
 
 
 def _conv_impl_for(x_shape, k, stride):
@@ -141,6 +199,10 @@ def conv2d_fn(x, kernel, stride=1, bias=None):
     update+reset gates) while keeping their parameter trees unchanged."""
     k = kernel.shape[0]
     pad = k // 2
+    if _CONV_QUANT == "int8":
+        y = _conv2d_int8(x, kernel, stride, pad).astype(x.dtype)
+        y = checkpoint_name(y, "conv_out")
+        return y + bias.astype(y.dtype) if bias is not None else y
     xa, ka = _conv_operands(x, kernel)
     impl = _conv_impl_for(x.shape, k, stride)
     if impl == "pallas":

@@ -36,5 +36,10 @@ done
 #    serve the same artifact on the chip, outputs must agree
 timeout 900 python tools/serialized_crosscheck.py 2>&1 | tail -4 | tee /tmp/chip_serialized.log
 
+# 4b. serving-precision A/B (f32 / bf16 / int8 convs): int8 runs the MXU
+#     at 2x bf16 rate — measure whether that survives the 32-channel
+#     lane padding at serving shapes
+timeout 1200 python tools/bench_serving.py 2>&1 | tail -6 | tee /tmp/chip_serving.log
+
 # 5. full bench (also warms /tmp/jaxcache for the driver's round-end run)
 timeout 3600 python bench.py 2>&1 | tail -3 | tee /tmp/chip_bench.log
