@@ -233,3 +233,38 @@ def test_chunked_stream_time_mode_identical(dataset, monkeypatch):
         np.testing.assert_array_equal(b2["events"], b["events"])
         np.testing.assert_array_equal(b2["valid"], b["valid"])
     stream2.close()
+
+
+def test_frames_mode(tmp_path):
+    """frames mode: windows span consecutive image timestamps and the
+    batch carries the (augmented) frame pair (reference h5.py:136-143,
+    303-312)."""
+    from event_flow_tpu.data.schema import write_h5_sequence
+    from event_flow_tpu.data.synthetic import constant_flow_window
+
+    rng = np.random.default_rng(0)
+    win = constant_flow_window(rng, 4000, RES, (2.0, 4.0))
+    t0 = 3.0
+    ts = t0 + win[:, 0]
+    frames = [
+        (t0 + i * 0.25,
+         (np.full(RES, 10 * i, np.uint8)))
+        for i in range(5)
+    ]
+    write_h5_sequence(
+        str(tmp_path / "seq.h5"), win[:, 2], win[:, 1], ts,
+        (win[:, 3] > 0).astype(np.uint8), frames=frames,
+    )
+    stream = EventStream(_config(str(tmp_path), mode="frames", window=1,
+                                 batch_size=1))
+    b = stream.next_batch()
+    assert b["frames"].shape == (1, 2, *RES)
+    # first window: frame pair (0, 1) -> fill values 0 and 10
+    assert b["frames"][0, 0].max() == 0 and b["frames"][0, 1].max() == 10
+    # events limited to the frame interval [t0, t0+0.25): dt_input < 0.25
+    assert 0 < b["dt_input"][0] < 0.25
+    valid_ts = b["events"][0][b["valid"][0] > 0][:, 0]
+    assert valid_ts.max() <= 0.25 + 1e-6
+    b2 = stream.next_batch()
+    assert b2["frames"][0, 0].max() == 10 and b2["frames"][0, 1].max() == 20
+    stream.close()
