@@ -118,8 +118,13 @@ def test(args):
     if getattr(args, "dp", False):
         from event_flow_tpu.parallel.mesh import make_mesh
 
-        n = len(jax.devices())
-        n = max(d for d in range(1, n + 1) if b % d == 0)
+        n_dev = len(jax.devices())
+        n = max(d for d in range(1, n_dev + 1) if b % d == 0)
+        if n < n_dev:
+            print(f"WARNING: batch_size {b} is not divisible by the "
+                  f"{n_dev} visible devices; using only {n} "
+                  f"device{'s' if n > 1 else ' — DP is effectively OFF'}"
+                  " (raise loader.batch_size for full parallelism)")
         mesh = make_mesh(n)
         print(f"data-parallel eval: {b} slots over {n} devices")
     evaluator = Evaluator(config, model, params, mesh=mesh)

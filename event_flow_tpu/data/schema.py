@@ -42,7 +42,8 @@ def write_h5_sequence(path, xs, ys, ts, ps, frames=None, flow_dt1=None,
 
 def write_synthetic_sequence(path, res=(32, 32), n_events=8000, duration=1.0,
                              velocity=(2.0, 4.0), seed=0, gt_flow_hz=None,
-                             t0=10.0, gt_flow_dt4_interval=None):
+                             t0=10.0, gt_flow_dt4_interval=None,
+                             frame_hz=None):
     """Constant-velocity synthetic sequence in the reference schema.
 
     velocity is (vy, vx) px/second. When ``gt_flow_hz`` is set, writes
@@ -51,7 +52,9 @@ def write_synthetic_sequence(path, res=(32, 32), n_events=8000, duration=1.0,
     ``gt_flow_dt4_interval`` (seconds) additionally writes flow_dt4 maps —
     one every interval, displacement = velocity * interval (the MVSEC
     dt4 layout the reference's gtflow_dt4 mode reads,
-    dataloader/h5.py:163-168).
+    dataloader/h5.py:163-168). ``frame_hz`` writes an ``images/`` group
+    (uint8 frames: the events of the preceding interval rendered as a
+    count image) so the ``frames`` window mode can run.
     """
     from .synthetic import constant_flow_window
 
@@ -84,6 +87,19 @@ def write_synthetic_sequence(path, res=(32, 32), n_events=8000, duration=1.0,
         fm4[1] = velocity[0] * dt4
         flow_dt4 = [(t0 + i * dt4, fm4) for i in range(n_maps)]
 
+    frames = None
+    if frame_hz:
+        n_maps = int(duration * frame_hz) + 1
+        dt = 1.0 / frame_hz
+        frames = []
+        for i in range(n_maps):
+            t = t0 + i * dt
+            sel = (ts >= t - dt) & (ts < t)
+            img = np.zeros((h, w), np.int64)
+            np.add.at(img, (ys[sel].astype(np.int64),
+                            xs[sel].astype(np.int64)), 1)
+            frames.append((t, np.clip(img * 32, 0, 255).astype(np.uint8)))
+
     write_h5_sequence(path, xs, ys, ts, ps, flow_dt1=flow_dt1,
-                      flow_dt4=flow_dt4)
+                      flow_dt4=flow_dt4, frames=frames)
     return path

@@ -92,7 +92,10 @@ def ensure_synthetic_dataset(config, root=None, n_sequences=2,
     window = float(config["data"].get("window", 5000))
     window_eval = float(config["data"].get("window_eval", window))
 
-    key = f"{mode}_{res[0]}x{res[1]}_{int(window_eval)}_{n_sequences}"
+    # the generated content depends on every sizing input — key them all
+    # so a changed recipe regenerates instead of reusing a stale cache
+    key = (f"{mode}_{res[0]}x{res[1]}_w{window:g}_we{window_eval:g}"
+           f"_{n_sequences}x{n_windows:g}")
     root = root or os.path.join("/tmp", "evflow_synth_eval")
     path = os.path.join(root, key)
     done = os.path.join(path, ".complete")
@@ -101,11 +104,19 @@ def ensure_synthetic_dataset(config, root=None, n_sequences=2,
     os.makedirs(path, exist_ok=True)
 
     gt_hz = 10.0
+    frame_hz = None
     if mode.startswith("gtflow"):
         intervals = n_windows * (4.0 if mode == "gtflow_dt4" else 1.0)
         duration = max(1.0, intervals / gt_hz)
         n_events = int(duration * 30000)
-    else:  # events / time / frames: fixed-count or fixed-time windows
+    elif mode == "time":  # window is SECONDS
+        duration = max(1.0, n_windows * window)
+        n_events = int(duration * 20000)
+    elif mode == "frames":  # window is a frame count; frames at 10 Hz
+        frame_hz = 10.0
+        duration = max(1.0, n_windows * window / frame_hz)
+        n_events = int(duration * 20000)
+    else:  # events: fixed-count windows
         duration = max(1.0, n_windows * window / 15000.0)
         n_events = int(max(n_windows * window_eval,
                            n_windows * window, 20000))
@@ -120,6 +131,7 @@ def ensure_synthetic_dataset(config, root=None, n_sequences=2,
             gt_flow_hz=gt_hz if mode.startswith("gtflow") else None,
             gt_flow_dt4_interval=(4.0 / gt_hz if mode == "gtflow_dt4"
                                   else None),
+            frame_hz=frame_hz,
         )
     with open(done, "w") as f:
         f.write("ok\n")

@@ -120,7 +120,10 @@ class Evaluator:
         from jax.sharding import NamedSharding, PartitionSpec
 
         spec = [None] * a.ndim
-        if axis is not None:
+        if axis is not None and axis < a.ndim:
+            # scalar leaves (e.g. the FireNet ANN cells' 0-d placeholder
+            # states) replicate — same rule as parallel/mesh.py's
+            # state shardings
             spec[axis] = "data"
         return jax.device_put(
             a, NamedSharding(self.mesh, PartitionSpec(*spec))

@@ -11,6 +11,8 @@ eval loop (reference: eval_flow.py:119-152) without metrics machinery.
     engine.reset()                         # at sequence changes
 """
 
+import threading
+
 import jax
 import jax.numpy as jnp
 
@@ -20,6 +22,11 @@ from ..ops.hot_filter import apply_hot_filter, init_hot_state
 from ..ops.iwe import compute_pol_iwe
 
 __all__ = ["InferenceEngine"]
+
+# serializes trace-time flips of the module-level conv quant policy, so
+# an engine tracing on another thread can't bake a concurrent engine's
+# policy into its program (RLock: _many_fn's trace re-enters _fn)
+_TRACE_LOCK = threading.RLock()
 
 
 class InferenceEngine:
@@ -31,7 +38,8 @@ class InferenceEngine:
         operand bytes halve; hidden-layer spike inputs quantize exactly.
         Scoped to this engine's traces — concurrent engines are
         unaffected."""
-        self.quantize = quantize
+        assert quantize in (None, "none", "int8"), quantize
+        self.quantize = None if quantize == "none" else quantize
         self.res = tuple(config["loader"]["resolution"])
         self.num_bins = config["model"]["num_bins"]
         self.model = model
@@ -66,19 +74,21 @@ class InferenceEngine:
 
         # trace-time scoped quant policy: this body runs while jax traces
         # the jitted step, so flipping the module policy here (and
-        # restoring it) quantizes exactly this engine's convs
-        prev = _conv._CONV_QUANT
-        if self.quantize:
-            _conv._CONV_QUANT = self.quantize
-        try:
-            out, state = self.model.apply(
-                params,
-                enc["event_voxel"].astype(self._cdtype),
-                enc["event_cnt"].astype(self._cdtype),
-                state,
-            )
-        finally:
-            _conv._CONV_QUANT = prev
+        # restoring it) quantizes exactly this engine's convs; the lock
+        # keeps a concurrent thread's trace from reading the flipped value
+        with _TRACE_LOCK:
+            prev = _conv._CONV_QUANT
+            if self.quantize:
+                _conv._CONV_QUANT = self.quantize
+            try:
+                out, state = self.model.apply(
+                    params,
+                    enc["event_voxel"].astype(self._cdtype),
+                    enc["event_cnt"].astype(self._cdtype),
+                    state,
+                )
+            finally:
+                _conv._CONV_QUANT = prev
         flow = out["flow"][-1].astype(jnp.float32)
         iwe = None
         if self.with_iwe:

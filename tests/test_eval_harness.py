@@ -208,11 +208,25 @@ def test_gt_f16_transfer_matches_f32(dataset):
             ), (metric, fname)
 
 
+class ScalarLeafDecayModel(DecayFlowModel):
+    """DecayFlowModel plus a 0-d state leaf — the FireNet-family ANN
+    cells carry scalar placeholder states (cells.py ConvLayerS), which
+    must replicate (not shard) on the data mesh."""
+
+    def zero_state(self, b, h, w, dtype=jnp.float32):
+        return super().zero_state(b, h, w, dtype) + (jnp.zeros((), dtype),)
+
+    def apply(self, params, voxel, cnt, state, log=False):
+        out, inner = super().apply(params, voxel, cnt, state[:-1], log)
+        return out, inner + (state[-1],)
+
+
 @pytest.mark.parametrize("chunk", ["1", "4"])
 def test_mesh_eval_matches_single_device(dataset, chunk):
     """Data-parallel eval (batch slots sharded over a 2-device 'data'
     mesh) reproduces the mesh-free run exactly, in both the per-window
-    and the chunked dispatch paths, with sharded recurrent state."""
+    and the chunked dispatch paths, with sharded recurrent state (and a
+    replicated scalar state leaf)."""
     import os
 
     from event_flow_tpu.parallel.mesh import make_mesh
@@ -224,7 +238,7 @@ def test_mesh_eval_matches_single_device(dataset, chunk):
             cfg = _config(dataset, "events", 1000, window_eval=2000)
             cfg["loader"]["batch_size"] = 2  # one slot per file
             mesh = make_mesh(2) if tag == "mesh" else None
-            ev = Evaluator(cfg, DecayFlowModel(0.4, 0.2), params={},
+            ev = Evaluator(cfg, ScalarLeafDecayModel(0.4, 0.2), params={},
                            mesh=mesh)
             stream = EventStream(cfg)
             results[tag] = ev.run(stream)

@@ -285,3 +285,42 @@ def test_ensure_synthetic_dataset(tmp_path):
         assert len(names) >= 3
         d = f["flow_dt4"][names[0]]
         assert d.shape == (2, 16, 16) and "timestamp" in d.attrs
+
+
+def test_ensure_synthetic_dataset_time_and_frames(tmp_path):
+    """time mode sizes duration in SECONDS-per-window (not the events
+    heuristic); frames mode writes an images/ group so the stream opens."""
+    import h5py
+
+    from event_flow_tpu.config.parser import default_config
+    from event_flow_tpu.data.h5 import EventStream
+    from event_flow_tpu.data.synthetic import ensure_synthetic_dataset
+
+    root = str(tmp_path / "synth")
+
+    cfg = default_config()
+    cfg["loader"]["resolution"] = [16, 16]
+    cfg["data"]["mode"] = "time"
+    cfg["data"]["window"] = 0.5  # seconds
+    path = ensure_synthetic_dataset(cfg, root=root, n_windows=8)
+    with h5py.File(path + "seq_a.h5") as f:
+        assert f.attrs["duration"] >= 0.9 * 8 * 0.5  # ~n_windows windows
+
+    cfg_f = default_config()
+    cfg_f["loader"]["resolution"] = [16, 16]
+    cfg_f["data"]["mode"] = "frames"
+    cfg_f["data"]["window"] = 1
+    path_f = ensure_synthetic_dataset(cfg_f, root=root)
+    cfg_f["data"]["path"] = path_f
+    cfg_f["loader"]["batch_size"] = 1
+    stream = EventStream(cfg_f)
+    b = stream.next_batch()
+    assert b["frames"].shape == (1, 2, 16, 16)
+    stream.close()
+
+    # cache key covers the window: a different window regenerates
+    cfg2 = default_config()
+    cfg2["loader"]["resolution"] = [16, 16]
+    cfg2["data"]["mode"] = "time"
+    cfg2["data"]["window"] = 2.0
+    assert ensure_synthetic_dataset(cfg2, root=root, n_windows=8) != path

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 
-def build_engine(model_name, res, mode, n_events):
+def build_engine(model_name, res, mode):
     import jax
     import jax.numpy as jnp
 
@@ -114,7 +114,7 @@ def main():
           f"res={res} events={args.events} S={args.s}")
     print(f"{'mode':8s} {'step ms/win':>12s} {'step_many ms/win':>17s}")
     for mode in args.modes.split(","):
-        engine = build_engine(args.model, res, mode, args.events)
+        engine = build_engine(args.model, res, mode)
         step_ms, many_ms = time_engine(engine, res, args.events, args.s,
                                        args.iters)
         print(f"{mode:8s} {step_ms:12.2f} {many_ms:17.2f}")
