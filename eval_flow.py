@@ -128,6 +128,13 @@ def test(args):
         mesh = make_mesh(n)
         print(f"data-parallel eval: {b} slots over {n} devices")
     evaluator = Evaluator(config, model, params, mesh=mesh)
+    if getattr(args, "shard", None):
+        # coarse multi-process eval: files are independent, so each
+        # process takes a disjoint round-robin subset and the per-file
+        # result YAMLs merge trivially
+        i, n = (int(v) for v in args.shard.split("/"))
+        assert 0 <= i < n, args.shard
+        config["loader"]["process_shard"] = (i, n)
     stream = EventStream(config)
     hot_state = init_hot_state(b, res)
     model_state = state
@@ -200,6 +207,10 @@ if __name__ == "__main__":
         help="reference torch checkpoint (model.pth / state_dict / MLflow "
              "run dir) to evaluate instead of this run's checkpoints",
     )
+    ap.add_argument("--shard", default=None, metavar="I/N",
+                    help="evaluate only the I-th of N round-robin file "
+                         "shards (run N processes for a full sweep; "
+                         "per-file results merge trivially)")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel eval: shard the batch slots over "
                          "all visible devices (batch_size % devices == 0)")
