@@ -110,6 +110,14 @@ def test(args):
         else:
             print("WARNING: no checkpoint found; evaluating random init")
 
+    if getattr(args, "quantize", None):
+        # whole-process serving quantization (metric-level accuracy
+        # check for int8 deployment; models/conv.py::_conv2d_int8)
+        from event_flow_tpu.models.conv import set_conv_quant
+
+        set_conv_quant(args.quantize)
+        print(f"conv quantization: {args.quantize}")
+
     vis = None
     if config.get("vis", {}).get("enabled") or config.get("vis", {}).get("store"):
         vis = Visualization(config, eval_id=eval_id, path_results=path_results)
@@ -207,6 +215,9 @@ if __name__ == "__main__":
         help="reference torch checkpoint (model.pth / state_dict / MLflow "
              "run dir) to evaluate instead of this run's checkpoints",
     )
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="evaluate with int8 serving convs (metric-level "
+                         "accuracy check for quantized deployment)")
     ap.add_argument("--shard", default=None, metavar="I/N",
                     help="evaluate only the I-th of N round-robin file "
                          "shards (run N processes for a full sweep; "

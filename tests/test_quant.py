@@ -139,3 +139,52 @@ def test_int8_engine_serializes(tmp_path):
     ser = SerializedEngine(path)
     restored = np.stack([np.asarray(ser.step(w)) for w in ws])
     np.testing.assert_allclose(restored, live, rtol=1e-5, atol=1e-6)
+
+
+def test_int8_eval_metric_deltas_bounded(tmp_path):
+    """Metric-level int8 accuracy: the full eval protocol (FWL/RSAT on a
+    synthetic stream) run with int8 convs tracks the f32 metrics within
+    a few percent on a continuous (ANN) model — the deployment-accuracy
+    question for quantized serving, answered at the metric level."""
+    from event_flow_tpu.config.parser import default_config
+    from event_flow_tpu.data.h5 import EventStream
+    from event_flow_tpu.data.schema import write_synthetic_sequence
+    from event_flow_tpu.eval.harness import Evaluator
+    from event_flow_tpu.models.registry import get_model
+
+    res = (32, 32)
+    write_synthetic_sequence(str(tmp_path / "seq.h5"), res=res,
+                             n_events=12000, duration=1.0,
+                             velocity=(4.0, 8.0), seed=0)
+    cfg = default_config()
+    cfg["data"].update({"path": str(tmp_path), "mode": "events",
+                        "window": 1000, "window_eval": 2000})
+    cfg["loader"].update({"resolution": list(res), "batch_size": 1,
+                          "augment": [], "seed": 0})
+    cfg["metrics"] = {"name": ["FWL", "RSAT"], "flow_scaling": 32}
+    cfg["hot_filter"] = {"enabled": False}
+    cfg["model"] = {
+        "name": "FireNet", "encoding": "cnt", "num_bins": 2,
+        "base_num_channels": 8, "kernel_size": 3, "mask_output": True,
+        "activations": ["relu", None],
+    }
+    model = get_model("FireNet", cfg["model"])
+    state = model.zero_state(1, *res)
+    x = jnp.zeros((1, *res, 2))
+    params = model.init(jax.random.PRNGKey(1), x, x, state)
+
+    results = {}
+    for mode in ("none", "int8"):
+        C.set_conv_quant(mode)
+        try:
+            stream = EventStream(cfg)
+            results[mode] = Evaluator(cfg, model, params).run(stream)
+            stream.close()
+        finally:
+            C.set_conv_quant("none")
+    for metric in ("FWL", "RSAT"):
+        for fname, f32_val in results["none"][metric].items():
+            q_val = results["int8"][metric][fname]
+            assert q_val == pytest.approx(f32_val, rel=0.05), (
+                metric, fname, f32_val, q_val
+            )
