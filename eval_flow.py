@@ -23,7 +23,6 @@ def test(args):
     from event_flow_tpu.ops.hot_filter import init_hot_state
     from event_flow_tpu.utils import checkpoint as ckpt
     from event_flow_tpu.utils.tracking import (
-        Tracker,
         create_model_dir,
         log_eval_config,
         log_eval_results,
@@ -38,11 +37,14 @@ def test(args):
     # base, the eval YAML wins on conflicts; this is how non-model train
     # settings like loss.overwrite_intermediate survive into eval)
     run_dir = os.path.join(args.runs_root, args.runid)
-    try:
-        stored = Tracker(
-            runid=args.runid, runs_root=args.runs_root
-        ).load_params()
-    except FileNotFoundError:
+    # (direct read, not Tracker: its constructor mkdirs the run dir, which
+    # would create ghost runs for --torch_weights / unknown runids)
+    params_yml = os.path.join(run_dir, "params.yml")
+    if os.path.isfile(params_yml):
+        import yaml
+
+        stored = yaml.safe_load(open(params_yml))
+    else:
         # no local training run (e.g. --torch_weights against released
         # reference weights): the eval config must carry the model block
         stored = {}

@@ -288,7 +288,10 @@ class Trainer:
         if mean_loss < self.best_loss:
             self.best_loss = mean_loss
             if self.tracker:
-                ckpt.save_checkpoint(
+                # async: the device->host snapshot happens here, the
+                # orbax write happens off the hot path (finalize() or any
+                # restore joins it)
+                ckpt.save_checkpoint_async(
                     self.tracker.checkpoint_dir("best"),
                     {"params": jax.device_get(self.state.params)},
                 )
@@ -297,11 +300,17 @@ class Trainer:
         self.synced_updates = 0
         return mean_loss
 
+    def finalize(self):
+        """Training-exit barrier: sync pending losses and join in-flight
+        async checkpoint writes (call before process exit)."""
+        self.drain_losses()
+        ckpt.wait_for_async_saves()
+
     def save_full_checkpoint(self, stream, epoch, tag="latest"):
         """Full resumable checkpoint: params + optimizer + stream cursor."""
         if not self.tracker:
             return
-        ckpt.save_checkpoint(
+        ckpt.save_checkpoint_async(
             self.tracker.checkpoint_dir(tag),
             {
                 "params": jax.device_get(self.state.params),

@@ -9,12 +9,15 @@ resumes exactly.
 """
 
 import os
+import threading
 
 import jax
 import numpy as np
 from flax import serialization
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_checkpoint"]
+__all__ = ["save_checkpoint", "save_checkpoint_async",
+           "wait_for_async_saves", "restore_checkpoint",
+           "latest_checkpoint"]
 
 
 def _use_orbax():
@@ -41,9 +44,52 @@ def save_checkpoint(path, tree):
     return path
 
 
+# -- async saves --------------------------------------------------------
+# The disk write of an epoch checkpoint (orbax serialize + fsync) blocks
+# the training loop for the whole file I/O; only the jax.device_get needs
+# the caller's thread. One background writer at a time keeps ordering
+# trivial (a second save waits for the first — same behavior as sync
+# saves, minus the I/O stall on the hot path).
+
+_ASYNC_LOCK = threading.Lock()
+_ASYNC_PENDING = []
+
+
+def save_checkpoint_async(path, tree):
+    """``save_checkpoint`` with the serialization + disk write moved to a
+    background thread. The device→host fetch still happens here (it must
+    snapshot the CURRENT values); call ``wait_for_async_saves()`` before
+    reading the checkpoint back or exiting."""
+    # device_get copies device arrays to host but ALIASES host numpy
+    # arrays — copy those too so the snapshot is immune to later
+    # in-place mutation by the caller
+    host_tree = jax.tree_util.tree_map(
+        lambda x: np.array(jax.device_get(x), copy=True)
+        if isinstance(x, (np.ndarray, jax.Array)) else x,
+        tree,
+    )
+    wait_for_async_saves()
+    t = threading.Thread(
+        target=save_checkpoint, args=(path, host_tree), daemon=True
+    )
+    t.start()
+    with _ASYNC_LOCK:
+        _ASYNC_PENDING.append(t)
+    return path
+
+
+def wait_for_async_saves():
+    """Join every in-flight async checkpoint write."""
+    with _ASYNC_LOCK:
+        pending, _ASYNC_PENDING[:] = _ASYNC_PENDING[:], []
+    for t in pending:
+        t.join()
+
+
 def restore_checkpoint(path, target=None):
     """Restore a pytree checkpoint. ``target`` (optional) provides the
     structure/dtypes for restoration."""
+    wait_for_async_saves()  # a same-process async write may be in flight
     path = os.path.abspath(path)
     if os.path.isdir(path) and _use_orbax():
         import orbax.checkpoint as ocp
@@ -70,6 +116,7 @@ def latest_checkpoint(run_dir, prefer=("best", "latest")):
     """Checkpoint directory under ``run_dir/checkpoints``; prefers the
     ``best`` model (the reference restores the best saved model,
     utils/utils.py:8-25), then ``latest``, then anything."""
+    wait_for_async_saves()  # don't return a half-written directory
     root = os.path.join(run_dir, "checkpoints")
     if not os.path.isdir(root):
         return None

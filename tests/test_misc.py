@@ -324,3 +324,28 @@ def test_ensure_synthetic_dataset_time_and_frames(tmp_path):
     cfg2["data"]["mode"] = "time"
     cfg2["data"]["window"] = 2.0
     assert ensure_synthetic_dataset(cfg2, root=root, n_windows=8) != path
+
+
+def test_checkpoint_async_roundtrip(tmp_path):
+    """Async saves snapshot values at CALL time (later mutations don't
+    leak in) and restore_checkpoint joins the in-flight write."""
+    from event_flow_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint_async,
+        wait_for_async_saves,
+    )
+
+    w = np.arange(6, dtype=np.float32)
+    tree = {"params": {"w": w}, "epoch": 1}
+    path = save_checkpoint_async(str(tmp_path / "ck"), tree)
+    w += 100.0  # mutate AFTER the call: must not appear in the snapshot
+    back = restore_checkpoint(path)  # joins the writer internally
+    np.testing.assert_array_equal(back["params"]["w"],
+                                  np.arange(6, dtype=np.float32))
+    # consecutive async saves to the same path serialize correctly
+    save_checkpoint_async(str(tmp_path / "ck"), {"params": {"w": w},
+                                                 "epoch": 2})
+    wait_for_async_saves()
+    back2 = restore_checkpoint(path)
+    assert int(back2["epoch"]) == 2
+    np.testing.assert_array_equal(back2["params"]["w"], w)

@@ -60,14 +60,11 @@ def main():
     if not args.torch_weights:
         # the model block comes from the run's stored training config
         # (same merge as eval_flow.py / reference configs/parser.py:98-115)
-        from event_flow_tpu.utils.tracking import Tracker
+        import yaml
 
-        runs_root, runid = os.path.split(os.path.normpath(args.run))
-        try:
-            stored = Tracker(runid=runid, runs_root=runs_root or ".")\
-                .load_params()
-        except FileNotFoundError:
-            stored = {}
+        params_yml = os.path.join(args.run, "params.yml")
+        stored = (yaml.safe_load(open(params_yml))
+                  if os.path.isfile(params_yml) else {})
         if stored:
             config = parser.merge_configs(stored)
     assert config.get("model", {}).get("name"), (

@@ -110,6 +110,7 @@ def train(args):
                 print(f"\nstopping after {trainer.updates} updates")
                 trainer.end_epoch(stream, epoch)
                 trainer.save_full_checkpoint(stream, epoch)
+                trainer.finalize()
                 if args.profile:
                     import jax
 
@@ -123,6 +124,7 @@ def train(args):
                 print(f"\nEpoch {epoch:04d} done, mean loss {mean:.6f}")
             stream.seq_num = stream.seq_num % len(stream.files)
             epoch += 1
+    trainer.finalize()
     return tracker.runid
 
 
