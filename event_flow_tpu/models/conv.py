@@ -112,6 +112,22 @@ def _conv2d_int8(x, kernel, stride, pad):
         y = jax.lax.dot(pm, w_i8.reshape(k * k * cin, cout),
                         preferred_element_type=jnp.int32)
         y = y.reshape(b, h, w, cout)
+    elif (jax.default_backend() == "tpu"
+          and os.environ.get("EVFLOW_INT8_STRIDED", "dequant") == "dequant"):
+        # int8 DOTS lower to the TPU MXU, but int8 CONVOLUTIONS are not a
+        # guaranteed lowering — strided convs (the UNet encoders, a
+        # minority of serving FLOPs) compute with the DEQUANTIZED int8
+        # values instead: identical quantization numerics (modulo f32
+        # summation rounding), f32 MXU speed. EVFLOW_INT8_STRIDED=conv
+        # re-selects the integer conv for A/B once measured viable.
+        xq = x_i8.astype(jnp.float32) * a_scale
+        wq = w_i8.astype(jnp.float32) * w_scale
+        return jax.lax.conv_general_dilated(
+            xq, wq,
+            window_strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     else:
         y = jax.lax.conv_general_dilated(
             x_i8, w_i8,
