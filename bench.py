@@ -53,11 +53,17 @@ if _ATTEMPT == 0:
     # save-named-conv-outputs remat: the saved residuals are bf16, so the
     # HBM cost undercuts the conv recompute (844 vs 789 w/s measured)
     os.environ.setdefault("EVFLOW_REMAT", "convs")
+    # fused conv+LIF Pallas kernel at its measured-win recurrent shapes
+    # (UNet deep encoders; full-update A/B 2026-08-18: SpikingRecEVFlowNet
+    # 759.8 w/s auto vs 744.6 xla). LIFFireNet's c32 cells stay on XLA
+    # via the same gate (models/policy.py::fused_auto_wins).
+    os.environ.setdefault("EVFLOW_CELL_IMPL", "auto")
 else:
     os.environ["EVFLOW_CONV_IMPL"] = "xla"
     os.environ["EVFLOW_CONV_DTYPE"] = "float32"
     os.environ["EVFLOW_CELL_DTYPE"] = "float32"
     os.environ["EVFLOW_REMAT"] = "full"
+    os.environ["EVFLOW_CELL_IMPL"] = "xla"
 
 # persistent XLA compile cache: repeat invocations (or retries after a
 # worker crash) reload executables instead of re-running the heavy compile

@@ -69,17 +69,17 @@ def fused_auto_wins(h, w, c, rec):
     conv+LIF kernel measured FASTER than the XLA cells on TPU v5e
     (tools/ab_fused_lif.py, b8 bf16, device-chained 20-step scan
     fwd+bwd). Measured wins: recurrent cells at c64 (128^2 and 64^2,
-    -13%; other resolutions extrapolated — more rows only help the MXU)
-    and c256 (16^2, -18%; c>=256 at <=32^2 extrapolated from it).
-    Measured losses: every feedforward shape and c32. c128 recurrent is
-    excluded as UNMEASURED: at 128^2 the VMEM gate rejects it (the A/B
-    silently measured XLA-vs-XLA there), and the in-model 32^2 stage has
-    not been benched. Heights not divisible by 8 are excluded too: the
-    kernel's row tile degrades to 2/1 there (e.g. the ECD recipe's 90-row
-    encoder stage), far from any measured configuration.
+    -13%; other resolutions extrapolated — more rows only help the MXU),
+    c256 (16^2, -18%), c128 (32^2, -4%) and c512 (8^2, -3.8%) — the last
+    two are the in-model UNet deep-encoder shapes, measured 2026-08-18.
+    Measured losses: every feedforward shape and c32 (the kernel's VMEM
+    gate rejects c128 at 128^2, so >=c128 only qualifies at <=32^2).
+    Heights not divisible by 8 are excluded too: the kernel's row tile
+    degrades to 2/1 there (e.g. the ECD recipe's 90-row encoder stage),
+    far from any measured configuration.
     """
     if not rec or h % 8:
         return False
     if c == 64:
         return True
-    return c >= 256 and max(h, w) <= 32
+    return c >= 128 and max(h, w) <= 32

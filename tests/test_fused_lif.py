@@ -245,7 +245,7 @@ def test_train_step_under_fused_bf16_cells():
 
 def test_auto_gate_routing():
     """EVFLOW_CELL_IMPL=auto must (a) reproduce the measured-win table
-    (models/policy.py::fused_auto_wins — recurrent c64 everywhere, c>=256
+    (models/policy.py::fused_auto_wins — recurrent c64 everywhere, c>=128
     only at <=32x32, never feedforward) and (b) never route through the
     Pallas kernel on the CPU backend, where the kernel would run in the
     slow interpreter."""
@@ -257,10 +257,10 @@ def test_auto_gate_routing():
         (128, 128, 32, True): False,   # XLA wins at c32
         (64, 64, 64, True): True,      # measured -13%
         (128, 128, 64, True): True,    # measured -13%
-        (32, 32, 128, True): False,    # UNMEASURED (the hw128 A/B was
-                                       # VMEM-gated to XLA); stay on XLA
+        (32, 32, 128, True): True,     # measured -4% (2026-08-18 A/B)
+        (128, 128, 128, True): False,  # VMEM-gated shape; stay on XLA
         (16, 16, 256, True): True,     # measured -18%
-        (8, 8, 512, True): True,       # same regime as c256/16x16
+        (8, 8, 512, True): True,       # measured -3.8% (2026-08-18 A/B)
         (64, 64, 64, False): False,    # feedforward never wins
         (16, 16, 256, False): False,
         (90, 120, 64, True): False,    # h % 8 != 0: row tile degrades
