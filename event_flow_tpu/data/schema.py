@@ -12,7 +12,8 @@ Schema (inferred from the reference reader, dataloader/h5.py:66-87,
 import h5py
 import numpy as np
 
-__all__ = ["write_h5_sequence", "write_synthetic_sequence"]
+__all__ = ["write_h5_sequence", "write_synthetic_sequence",
+           "write_rich_sequence"]
 
 
 def write_h5_sequence(path, xs, ys, ts, ps, frames=None, flow_dt1=None,
@@ -38,6 +39,58 @@ def write_h5_sequence(path, xs, ys, ts, ps, frames=None, flow_dt1=None,
                         data=np.asarray(arr),
                     )
                     d.attrs["timestamp"] = float(t)
+
+
+def write_rich_sequence(path, res=(128, 128), duration=30.0,
+                        event_rate=20000.0, seed=0, speed_range=(8.0, 40.0),
+                        segment_s=1.6, n_structures=200, velocity=None,
+                        gt_flow_hz=10.0, t0=10.0):
+    """Textured, varied-flow synthetic sequence in the reference schema.
+
+    Scenes are textured emitter sets (points + segments + blobs); motion
+    is piecewise-constant velocity resampled every ``segment_s`` seconds
+    (log-uniform |v| in ``speed_range`` px/s), or one constant
+    ``velocity=(vy, vx)`` for exact-GT evaluation sequences. When
+    ``gt_flow_hz`` is set, writes flow_dt1 maps storing the TRUE
+    per-interval pixel displacement (x, y) — exact because ``segment_s``
+    must be a multiple of the map interval. This is the dataset the
+    self-supervised metrics need to be meaningful: per-eval-window
+    displacement is multi-pixel, so correct flow genuinely sharpens the
+    IWE (FWL > 1, reference loss/flow.py:468-500) instead of the
+    sub-pixel-motion regime where even GT flow scores FWL < 1.
+    """
+    from .synthetic import rich_sequence_events
+
+    ts, ys, xs, ps, segments = rich_sequence_events(
+        seed, res, duration, event_rate, speed_range=speed_range,
+        segment_s=segment_s, n_structures=n_structures, velocity=velocity,
+    )
+    flow_dt1 = None
+    if gt_flow_hz:
+        dt = 1.0 / gt_flow_hz
+        if abs(segment_s / dt - round(segment_s / dt)) > 1e-6:
+            raise ValueError(
+                f"segment_s={segment_s} must be a multiple of the GT map "
+                f"interval 1/gt_flow_hz={dt} for the maps to be exact")
+        h, w = res
+        flow_dt1 = []
+        n_maps = int(round(duration * gt_flow_hz)) + 1
+        for i in range(n_maps):
+            t = i * dt
+            # velocity in effect over [t, t + dt)
+            vy = vx = 0.0
+            for (s0, s1, svy, svx) in segments:
+                if s0 - 1e-9 <= t < s1 - 1e-9:
+                    vy, vx = svy, svx
+                    break
+            else:
+                _, _, vy, vx = segments[-1]
+            fm = np.zeros((2, h, w), np.float32)
+            fm[0] = vx * dt
+            fm[1] = vy * dt
+            flow_dt1.append((t0 + t, fm))
+    write_h5_sequence(path, xs, ys, t0 + ts, ps, flow_dt1=flow_dt1)
+    return path
 
 
 def write_synthetic_sequence(path, res=(32, 32), n_events=8000, duration=1.0,

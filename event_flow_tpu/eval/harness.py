@@ -62,6 +62,20 @@ class Evaluator:
         self.num_bins = config["model"]["num_bins"]
         self.flow_scaling = config.get("metrics", {}).get("flow_scaling", 128)
         self.metrics = metrics or config.get("metrics", {}).get("name", [])
+        # quirk-compat accounting (default OFF): the reference CLI's result
+        # loop shadows its metric loop variable (eval_flow.py:184-190 —
+        # `for metric in config["metrics"]["name"]` inside the
+        # `for i, metric in enumerate(...)` body), so the FIRST eval window
+        # of each file is credited to the LAST metric's bucket (with
+        # ["FWL","RSAT"], window 1's FWL lands in RSAT and FWL's divisor
+        # shrinks by one; with a single metric the rebind is harmless).
+        # Set metrics.reference_accounting: true to reproduce the
+        # reference's published tables bit-for-bit; the default keeps each
+        # value in its own metric's bucket. Verified against the
+        # unmodified reference CLI in tests/test_ref_cli_subprocess.py.
+        self.reference_accounting = bool(
+            config.get("metrics", {}).get("reference_accounting", False)
+        )
         self.mode = config["data"]["mode"]
         window = config["data"]["window"]
         window_eval = config["data"].get("window_eval", window)
@@ -564,6 +578,7 @@ class Evaluator:
         fetched = jax.device_get(
             [(v, p) for _, v, _, p, _, _ in self._pending]
         )
+        ref_acct = self.reference_accounting and len(self.metrics) > 1
         for (metric, _, filenames, _, slot_mask, row), (values, percent) in zip(
             self._pending, fetched
         ):
@@ -574,11 +589,24 @@ class Evaluator:
                 values = values[row]
                 if percent is not None:
                     percent = percent[row]
+            credit = metric
             for slot, fname in enumerate(filenames):
                 if slot_mask is not None and not slot_mask[slot]:
                     continue
-                entry = self._results.setdefault(fname, {}).setdefault(
-                    metric, {"metric": 0.0, "it": 0, "percent": 0.0}
+                fentry = self._results.get(fname)
+                if fentry is None:
+                    fentry = self._results[fname] = {}
+                    if ref_acct:
+                        # reference CLI quirk (eval_flow.py:184-190): the
+                        # filename-creation loop rebinds `metric`, so this
+                        # record — and later slots of the same window —
+                        # are credited to the LAST metric's bucket
+                        for m in self.metrics:
+                            fentry[m] = {"metric": 0.0, "it": 0,
+                                         "percent": 0.0}
+                        credit = self.metrics[-1]
+                entry = fentry.setdefault(
+                    credit, {"metric": 0.0, "it": 0, "percent": 0.0}
                 )
                 entry["metric"] += float(values[slot])
                 entry["it"] += 1

@@ -26,8 +26,9 @@ cells (stride 1, odd k, no norm, detach) through the fused conv+LIF
 Pallas kernel (ops/fused_lif_pallas.py) — the north-star fusion over the
 reference's conv-then-neuron hot path (spiking_submodules.py:96-126).
 'auto' routes ONLY the shapes where the fused kernel measured faster
-than XLA on v5e (recurrent cells at c64, and at c>=256 when the image is
-<=32x32 — tools/ab_fused_lif.py's docstring has the measured table,
+than XLA on v5e (recurrent cells at c64 at any resolution, and at c>=128
+when the image is <=32x32 — measured at c128/hw32, c256/hw16, c512/hw8;
+tools/ab_fused_lif.py's docstring has the table,
 models/policy.py::fused_auto_wins the gate) and only on the TPU backend
 (never the CPU interpreter / other accelerators). The parameter tree is
 identical either way, so checkpoints interchange.

@@ -28,7 +28,8 @@ include ~1.7 ms/step of amortized tunnel rtt; ranking unaffected):
   the XLA fallback (the tool now refuses to mislabel gated shapes).
 
 So the fused kernel's value window is RECURRENT cells where the MXU lanes
-fill (c64; c>=256 at small images), where keeping patches + both kernels
+fill (c64 at any resolution; c>=128 at <=32x32 images — measured at
+c128/hw32, c256/hw16, c512/hw8), where keeping patches + both kernels
 VMEM-resident between the two convs beats XLA's two-dispatch schedule.
 """
 
