@@ -65,6 +65,14 @@ def jaxpr_flops(jaxpr):
         elif prim == "while":
             # trip count unknowable statically; count one body iteration
             total += jaxpr_flops(eqn.params["body_jaxpr"])
+        elif prim == "pallas_call":
+            # kernel jaxpr is per-block: its dot_generals run once per grid
+            # point. This makes MFU exact under EVFLOW_CELL_IMPL=auto/pallas
+            # (the fused conv+LIF kernels' MXU work was previously invisible
+            # to the walker and under-reported bench FLOPs).
+            gm = eqn.params.get("grid_mapping")
+            grid = math.prod(getattr(gm, "grid", ()) or (1,))
+            total += grid * jaxpr_flops(eqn.params["jaxpr"])
         elif prim == "cond":
             branches = eqn.params["branches"]
             total += max(jaxpr_flops(b) for b in branches)

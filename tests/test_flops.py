@@ -78,3 +78,54 @@ def test_train_step_order_of_magnitude():
         st.model_state)
     # full update >= T windows of fwd + some backward
     assert fl >= t * per_window_fwd * 1.5
+
+
+def test_pallas_call_counted_grid_times_kernel():
+    """pallas_call kernels count their block dot_generals x grid size, so
+    MFU is exact under EVFLOW_CELL_IMPL=pallas/auto (round-3 gap: the
+    fused conv+LIF kernel's MXU work was invisible to the walker)."""
+    from jax.experimental import pallas as pl
+
+    def kern(x_ref, w_ref, o_ref):
+        o_ref[:] = jnp.dot(x_ref[:], w_ref[:],
+                           preferred_element_type=jnp.float32)
+
+    def f(x, w):
+        return pl.pallas_call(
+            kern, grid=(4,),
+            in_specs=[pl.BlockSpec((32, 16), lambda i: (i, 0)),
+                      pl.BlockSpec((16, 8), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((32, 8), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((128, 8), jnp.float32))(x, w)
+
+    f_count = flops_of_fn(f, jnp.zeros((128, 16)), jnp.zeros((16, 8)))
+    assert f_count == 4 * 2 * 32 * 16 * 8
+
+
+def test_fused_lif_pallas_flops_match_xla_cell():
+    """The fused conv+LIF forward must count the same MXU FLOPs as the
+    unfused conv it replaces (2*B*H*W*cout*cin*k^2 for ff, + the
+    recurrent conv when rec), so bench FLOPs agree between cell impls."""
+    from event_flow_tpu.ops.fused_lif_pallas import (
+        _fused_fwd, fused_lif_available)
+
+    b, h, w, cin, cout, k = 2, 32, 32, 16, 16, 3
+    if not fused_lif_available((b, h, w, cin), k, 1, cout=cout, rec=True):
+        import pytest
+        pytest.skip("fused kernel gated off at this shape")
+    x = jnp.zeros((b, h, w, cin), jnp.float32)
+    w2 = jnp.zeros((k * k * cin, cout), jnp.float32)
+    wr2 = jnp.zeros((k * k * cout, cout), jnp.float32)
+    v = jnp.zeros((b, h, w, cout), jnp.float32)
+    z = jnp.zeros((b, h, w, cout), jnp.float32)
+    leak = jnp.zeros((cout,), jnp.float32)
+    thresh = jnp.ones((cout,), jnp.float32)
+
+    got = flops_of_fn(
+        lambda *a: _fused_fwd(*a, k=k, hard_reset=True,
+                              activation="arctanspike", width=10.0,
+                              z_rec=z, wr2=wr2),
+        x, w2, v, z, leak, thresh)
+    conv = 2.0 * b * h * w * cout * cin * k * k
+    rec_conv = 2.0 * b * h * w * cout * cout * k * k
+    assert got == conv + rec_conv
