@@ -315,12 +315,27 @@ def main():
                                           recipe)
                 cfg = be.make_config(1, os.path.dirname(paths[0]), -1,
                                      recipe)
-                _, steady_ms, _, _ = be.run_eval(cfg)
+                # latency mode (sync per flush) yields the host->device
+                # transfer / dispatch decomposition; throughput mode (no
+                # per-chunk sync — the production Evaluator never syncs)
+                # is the headline steady state. Same methodology as
+                # tools/bench_eval.py, so STATUS and bench agree.
+                _, lat_ms, _, _, decomp = be.run_eval(cfg, sync_each=True)
+                _, steady_ms, _, _, _ = be.run_eval(cfg, sync_each=False)
+                key = f"eval_{recipe.lower()}"
                 if np.isfinite(steady_ms):
-                    key = f"eval_{recipe.lower()}_ms_per_window_b1"
-                    result[key] = round(steady_ms, 2)
-                    result[f"eval_{recipe.lower()}_windows_per_sec_b1"] = (
+                    result[f"{key}_ms_per_window_b1"] = round(steady_ms, 2)
+                    result[f"{key}_windows_per_sec_b1"] = (
                         round(1e3 / steady_ms, 1))
+                if np.isfinite(lat_ms):
+                    result[f"{key}_latency_ms_per_window_b1"] = round(
+                        lat_ms, 2)
+                    if "transfer_ms" in decomp:
+                        result[f"{key}_transfer_ms_per_window_b1"] = round(
+                            decomp["transfer_ms"], 2)
+                    if "dispatch_ms" in decomp:
+                        result[f"{key}_dispatch_ms_per_window_b1"] = round(
+                            decomp["dispatch_ms"], 2)
         except Exception as e:  # noqa: BLE001 — degraded worker
             import sys
 
