@@ -226,7 +226,7 @@ if __name__ == "__main__":
                          "per-file results merge trivially)")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel eval: shard the batch slots over "
-                         "all visible devices (batch_size % devices == 0)")
+                         "all visible devices (batch_size %% devices == 0)")
     ap.add_argument("--synthetic", action="store_true",
                     help="evaluate on cached synthetic sequences matching "
                          "the config's mode/resolution (no dataset needed)")

@@ -254,6 +254,70 @@ def test_shard_map_loss_matches_plain_loss():
                                atol=1e-5)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_checkpoint_save_restore_continue(tmp_path):
+    """Sharded training survives a checkpoint round trip: run two
+    channel-sharded steps on the 3-D mesh (the second with a mid-stream
+    sequence reset), save the sharded TrainState through the REAL
+    checkpoint path (utils/checkpoint — device_get gathers the shards),
+    restore + re-shard into a fresh mesh placement, continue one more
+    step, and match the single-device run of the same 3-step schedule."""
+    from event_flow_tpu.train.step import TrainState
+    from event_flow_tpu.utils.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+
+    snn_cfg = dict(
+        CFG,
+        name="LIFFireNet",
+        activations=["arctanspike", "arctanspike"],
+        spiking_neuron={"leak": [-4.0, 0.1], "thresh": [0.8, 0.1],
+                        "learn_leak": True, "learn_thresh": True,
+                        "hard_reset": True},
+    )
+    model = get_model("LIFFireNet", snn_cfg)
+    tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
+    loss_cfg = LossConfig(RES, float(max(RES)), 0.001, smoothing_mask=True)
+    step = make_train_step(model, tx, RES, 2, loss_cfg)
+    rng = np.random.default_rng(7)
+    evs = [
+        jnp.asarray(np.stack([
+            np.stack([constant_flow_window(rng, N, RES, (2.0, 1.0), 12)
+                      for _ in range(T)])
+            for _ in range(B)
+        ]))
+        for _ in range(3)
+    ]
+    valid = jnp.ones((B, T, N))
+    aug = jnp.zeros((B, 3))
+    # step schedule: plain, sequence reset (mid-stream), plain
+    resets = [jnp.asarray(False), jnp.asarray(True), jnp.asarray(False)]
+
+    mesh = make_mesh_3d(2, 2, 2)
+    st0 = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
+    sharded = shard_train_step(step, mesh, st0)
+    st = shard_state(st0, mesh)
+    losses = []
+    for ev, rs in zip(evs[:2], resets[:2]):
+        st, loss = sharded(st, ev, valid, aug, rs)
+        losses.append(float(loss))
+
+    ckpt_dir = str(tmp_path / "sharded_ckpt")
+    save_checkpoint(ckpt_dir, st._asdict())
+    template = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
+    restored = restore_checkpoint(ckpt_dir, target=template._asdict())
+    st2 = shard_state(TrainState(**restored), mesh)
+    st2, loss = sharded(st2, evs[2], valid, aug, resets[2])
+    losses.append(float(loss))
+
+    ref_state = init_train_state(model, tx, jax.random.PRNGKey(0), B, RES, 2)
+    plain = jax.jit(step)
+    ref = []
+    for ev, rs in zip(evs, resets):
+        ref_state, loss = plain(ref_state, ev, valid, aug, rs)
+        ref.append(float(loss))
+    np.testing.assert_allclose(losses, ref, rtol=2e-4)
+
+
 def test_global_batch_replicates_scalar_leaves():
     """Stream batches carry rank-0 leaves (new_seq bool); global_batch
     must replicate them instead of building a rank-1 sharding spec

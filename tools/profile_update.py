@@ -1,0 +1,180 @@
+"""Profile-backed roofline for the flagship training update (VERDICT r3 #8).
+
+Captures a ``jax.profiler`` trace of the full LIFFireNet b8 training
+update on the real chip, parses the TensorBoard/perfetto
+``*.trace.json.gz`` the profiler writes, and attributes device time to
+op categories (MXU convs/matmuls, VPU elementwise fusions, HBM
+copies/transposes, scatter, infeed) — turning STATUS.md's op-count
+roofline argument ("~4% MFU is near the 32-channel ceiling") into a
+measured breakdown.
+
+Usage:
+  python tools/profile_update.py [--model LIFFireNet] [--updates 3]
+      [--outdir /tmp/evflow_profile] [--summary docs/evidence_r4/profile_summary.md]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+# bench fast-path flags (same program bench.py times)
+os.environ.setdefault("EVFLOW_CONV_IMPL", "im2col")
+os.environ.setdefault("EVFLOW_CONV_DTYPE", "bfloat16")
+os.environ.setdefault("EVFLOW_CELL_DTYPE", "bfloat16")
+os.environ.setdefault("EVFLOW_REMAT", "convs")
+
+
+# op-name -> category heuristics for TPU trace events (event names are
+# HLO instruction names; fusions carry the producing op kind in the name)
+CATEGORIES = (
+    ("conv/matmul (MXU)", ("convolution", "dot", "conv_general")),
+    ("scatter", ("scatter",)),
+    ("gather", ("gather",)),
+    ("copy/layout (HBM)", ("copy", "transpose", "bitcast", "reshape",
+                           "all-reduce", "tuple")),
+    ("dynamic-slice", ("dynamic-slice", "dynamic-update-slice", "slice",
+                       "concatenate", "pad")),
+    ("elementwise/fusion (VPU)", ("fusion", "loop_fusion", "add", "multiply",
+                                  "select", "compare", "exponential",
+                                  "tanh", "divide", "subtract", "maximum",
+                                  "reduce", "broadcast", "convert")),
+)
+
+
+def categorize(name):
+    low = name.lower()
+    for cat, keys in CATEGORIES:
+        if any(k in low for k in keys):
+            return cat
+    return "other"
+
+
+def run_and_trace(model_name, updates, outdir):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from event_flow_tpu.loss.warping import LossConfig
+    from event_flow_tpu.train.optim import make_optimizer
+    from event_flow_tpu.train.step import init_train_state, make_train_step
+    import __graft_entry__ as ge
+
+    res = (128, 128)
+    b, t, n = 8, 10, 1024
+    if model_name == "LIFFireNet":
+        model = ge._flagship()
+    else:
+        from event_flow_tpu.models.registry import get_model
+
+        model = get_model(model_name, {
+            "name": model_name, "encoding": "cnt", "num_bins": 2,
+            "base_num_channels": 32, "kernel_size": 3, "mask_output": True,
+            "activations": ["arctanspike", "arctanspike"],
+            "spiking_neuron": {"leak": [-4.0, 0.1], "thresh": [0.8, 0.1],
+                               "learn_leak": True, "learn_thresh": True,
+                               "hard_reset": True}})
+    tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
+    loss_cfg = LossConfig(res, float(max(res)), 0.001, smoothing_mask=True)
+    step = jax.jit(make_train_step(model, tx, res, 2, loss_cfg,
+                                   micro_batch=4))
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), b, res, 2)
+
+    rng = np.random.default_rng(0)
+    ev = np.zeros((b, t, n, 4), np.float32)
+    ev[..., 0] = np.sort(rng.uniform(0, 1, (b, t, n)), axis=-1)
+    ev[..., 1] = rng.integers(0, res[0], (b, t, n))
+    ev[..., 2] = rng.integers(0, res[1], (b, t, n))
+    ev[..., 3] = rng.choice([-1.0, 1.0], (b, t, n))
+    ev = jnp.asarray(ev)
+    valid = jnp.ones((b, t, n))
+    aug = jnp.zeros((b, 3))
+    reset = jnp.asarray(False)
+
+    # compile + warm outside the trace
+    state, loss = step(state, ev, valid, aug, reset)
+    print(f"warmup loss {float(loss):.4f}")
+
+    with jax.profiler.trace(outdir):
+        for _ in range(updates):
+            state, loss = step(state, ev, valid, aug, reset)
+        _ = float(loss)  # real sync inside the trace window
+    return outdir
+
+
+def parse_trace(outdir, top_k=25):
+    pats = sorted(glob.glob(os.path.join(
+        outdir, "plugins", "profile", "*", "*.trace.json.gz")))
+    assert pats, f"no trace.json.gz under {outdir}"
+    with gzip.open(pats[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device tracks: pid whose process_name mentions TPU/device; fall back
+    # to "all complete events with a dur" minus obvious host threads
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    device_pids = {p for p, name in pid_names.items()
+                   if "TPU" in name or "/device" in name.lower()}
+    by_name = defaultdict(float)
+    by_cat = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if device_pids and e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        if name.startswith("Steps") or name in ("tracing", "program"):
+            continue
+        dur = e["dur"] / 1e3  # us -> ms
+        by_name[name] += dur
+        by_cat[categorize(name)] += dur
+        total += dur
+    top = sorted(by_name.items(), key=lambda kv: -kv[1])[:top_k]
+    cats = sorted(by_cat.items(), key=lambda kv: -kv[1])
+    return total, cats, top, pid_names
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="LIFFireNet")
+    ap.add_argument("--updates", type=int, default=3)
+    ap.add_argument("--outdir", default="/tmp/evflow_profile")
+    ap.add_argument("--summary", default=None,
+                    help="write a markdown summary here")
+    ap.add_argument("--parse-only", action="store_true",
+                    help="parse an existing trace dir (no chip run)")
+    args = ap.parse_args()
+
+    if not args.parse_only:
+        run_and_trace(args.model, args.updates, args.outdir)
+    total, cats, top, pids = parse_trace(args.outdir)
+
+    lines = [f"# {args.model} update: device-time attribution",
+             "",
+             f"trace: {args.outdir}, {args.updates} updates, "
+             f"total tracked {total:.1f} ms", "",
+             "| category | ms | share |", "|---|---|---|"]
+    for cat, ms in cats:
+        lines.append(f"| {cat} | {ms:.2f} | {ms / max(total, 1e-9):.1%} |")
+    lines += ["", "Top ops:", "", "| op | ms |", "|---|---|"]
+    for name, ms in top:
+        lines.append(f"| `{name[:70]}` | {ms:.2f} |")
+    out = "\n".join(lines)
+    print(out)
+    if args.summary:
+        os.makedirs(os.path.dirname(args.summary), exist_ok=True)
+        with open(args.summary, "w") as f:
+            f.write(out + "\n")
+        print(f"\nwrote {args.summary}")
+
+
+if __name__ == "__main__":
+    main()
