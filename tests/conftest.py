@@ -56,6 +56,8 @@ SLOW_TESTS = (
     "test_parallel.py::test_shard_map_loss_matches_plain_loss",
     "test_parallel.py::test_3d_mesh_tensor_parallel_matches_single_device",
     "test_parallel.py::test_8way_dp_matches_smaller_mesh",
+    "test_parallel.py::test_3d_mesh_tp_unet_deep_channels_matches_single_device",
+    "test_parallel.py::test_sharded_checkpoint_save_restore_continue",
     "test_loss.py::test_loss_differentiable_and_nonzero_grad",
     "test_iwe_matmul.py::test_loss_impls_agree",
     "test_conv_dtype.py::test_unet_trace_under_fast_conv_config",
