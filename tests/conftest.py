@@ -106,6 +106,9 @@ SLOW_TESTS = (
     "test_fused_lif.py::test_gradients_match_unfused",
     "test_firenet.py::test_variant_forward_and_state[FireNet]",
     "test_unet_models.py::test_unet_variant_forward[SpikingRecEVFlowNet]",
+    "test_unet_models.py::test_unet_variant_forward[LeakyRecEVFlowNet]",
+    "test_model_parity.py::test_rec_evflownet_multistep_parity",
+    "test_firenet.py::test_variant_forward_and_state[FireFlowNet]",
     "test_unet_models.py::test_unet_variant_forward[EVFlowNet]",
     "test_loss.py::test_multi_scale_average",
     "test_eval_harness.py::test_results_keyed_per_file",
