@@ -133,6 +133,12 @@ def parse_trace(outdir, top_k=25):
         name = e.get("name", "?")
         if name.startswith("Steps") or name in ("tracing", "program"):
             continue
+        # drop CONTAINER events (they nest the leaf ops and would double
+        # count): the jit program span, while/scan body spans, and the
+        # bare-number step markers. Verified on a v5e trace: the remaining
+        # leaf ops sum to the measured device ms/update.
+        if (name.startswith(("jit_", "while")) or name.isdigit()):
+            continue
         dur = e["dur"] / 1e3  # us -> ms
         by_name[name] += dur
         by_cat[categorize(name)] += dur
