@@ -121,6 +121,7 @@ class Evaluator:
         self._chunk_state = None  # (model_state, hot_state) at chunk start
         self._chunk_reset = False
         self._chunk_step_jit = jax.jit(self._chunk_step)
+        self._packed_cache = {}  # pack spec -> jitted single-put step
 
     # -- mesh placement ----------------------------------------------------
 
@@ -470,6 +471,52 @@ class Evaluator:
     # event-axis bucket ladder for transfer trimming (see _flush_chunk)
     _EVENT_BUCKETS = (1024, 2048, 4096, 8192, 16384, 32768)
 
+    # -- single-put chunk packing ---------------------------------------
+    # A tunneled device_put pays a large FIXED cost per call (measured on
+    # v5e 2026-08-19: ~40 ms/flush/put; the MVSEC chunk ships 8 arrays,
+    # so per-array puts made transfer 41 ms/window at b1 while the actual
+    # bytes need ~8 ms). Packing every chunk input into ONE uint8 buffer
+    # pays the fixed cost once; the jitted step slices and bitcasts the
+    # segments back on device (static offsets — the spec is part of the
+    # jit cache key).
+
+    def _pack_put(self, arrs):
+        parts, spec, off = [], [], 0
+        for a in arrs:
+            a = np.ascontiguousarray(a)
+            raw = a.reshape(-1).view(np.uint8)
+            pad = (-off) % 4  # 4-byte-align every segment for bitcast
+            if pad:
+                parts.append(np.zeros(pad, np.uint8))
+                off += pad
+            spec.append((a.shape, a.dtype.str, off, raw.size))
+            parts.append(raw)
+            off += raw.size
+        return self._put(np.concatenate(parts)), tuple(spec)
+
+    @staticmethod
+    def _unpack(buf, spec):
+        out = []
+        for shape, dtype, off, size in spec:
+            seg = jax.lax.slice(buf, (off,), (off + size,))
+            dt = np.dtype(dtype)
+            if dt.itemsize > 1:
+                seg = jax.lax.bitcast_convert_type(
+                    seg.reshape(-1, dt.itemsize), dt)
+            out.append(seg.reshape(shape))
+        return out
+
+    def _packed_step(self, spec):
+        fn = self._packed_cache.get(spec)
+        if fn is None:
+            def stepper(params, model_state, hot_state, buf):
+                return self._chunk_step(params, model_state, hot_state,
+                                        *self._unpack(buf, spec))
+
+            fn = jax.jit(stepper)
+            self._packed_cache[spec] = fn
+        return fn
+
     def _flush_chunk(self, params):
         """One jitted dispatch over the buffered windows (padded to the
         static chunk size); queue the resulting metric groups.
@@ -508,30 +555,45 @@ class Evaluator:
             if n_live < s:
                 pad = np.zeros((s - n_live, *a.shape[1:]), a.dtype)
                 a = np.concatenate([a, pad])
-            return self._put(a, 1)  # [S, B, ...]: slot axis shards
+            return a  # [S, B, ...]
 
         live = np.zeros(s, np.float32)
         live[:n_live] = 1.0
-        args = [stack("events", trim=True),
-                stack("valid", trim=True, dtype=np.uint8),
-                self._put(chunk[0]["aug"], 0), stack("reset"),
-                self._put(live)]
+        host_args = [stack("events", trim=True),
+                     stack("valid", trim=True, dtype=np.uint8),
+                     np.asarray(chunk[0]["aug"]), stack("reset"), live]
         has_gt = "gtflow" in chunk[0]
         if "AEE" in self.metrics and has_gt:
-            # GT flow maps are the remaining transfer floor at the MVSEC
-            # recipe (0.5 MB/window f32 of ~0.63 total). EVFLOW_EVAL_GT_DTYPE
-            # =float16 halves them (relative error <= 2^-11, orders below
-            # the 1% AEE parity bar); default stays f32 so the reported
-            # metrics are bit-equal to the per-window protocol.
+            # GT flow maps are the remaining transfer-bytes floor at the
+            # MVSEC recipe (0.5 MB/window f32 of ~0.63 total).
+            # EVFLOW_EVAL_GT_DTYPE=float16 halves them (relative error
+            # <= 2^-11, orders below the 1% AEE parity bar); default stays
+            # f32 so reported metrics are bit-equal to the per-window
+            # protocol.
             gt_dt = (np.float16 if os.environ.get(
                 "EVFLOW_EVAL_GT_DTYPE") == "float16" else None)
-            args += [stack("gtflow", dtype=gt_dt), stack("dt_input"),
-                     stack("dt_gt")]
+            host_args += [stack("gtflow", dtype=gt_dt),
+                          stack("dt_input", dtype=np.float32),
+                          stack("dt_gt", dtype=np.float32)]
         ms, hs = self._chunk_state
-        ms, hs, res = self._chunk_step_jit(
-            self._put_params(params), self._put_state(ms),
-            self._put_state(hs), *args,
-        )
+        if self.mesh is None and os.environ.get("EVFLOW_EVAL_PACK") != "0":
+            # single-put packed dispatch (see _pack_put)
+            buf, spec = self._pack_put(host_args)
+            ms, hs, res = self._packed_step(spec)(
+                self._put_params(params), self._put_state(ms),
+                self._put_state(hs), buf,
+            )
+        else:
+            # mesh eval keeps per-array puts: each input's slot axis
+            # shards over `data` (a packed byte buffer has no slot axis)
+            args = [self._put(host_args[0], 1), self._put(host_args[1], 1),
+                    self._put(host_args[2], 0), self._put(host_args[3], 1),
+                    self._put(host_args[4])]
+            args += [self._put(a, 1) for a in host_args[5:]]
+            ms, hs, res = self._chunk_step_jit(
+                self._put_params(params), self._put_state(ms),
+                self._put_state(hs), *args,
+            )
         self._chunk_state = (ms, hs)
 
         k = self.k_windows

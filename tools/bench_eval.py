@@ -196,6 +196,27 @@ def run_eval(config, sync_each=True):
                 first_done[0] = time.perf_counter()
         flush_times.append((n * b, time.perf_counter() - t0, put_time[0]))
 
+    if not sync_each:
+        # Warm every chunk-shape compile before timing: variable-length
+        # gtflow windows bucket the event axis (harness._EVENT_BUCKETS),
+        # so one stream pass can trace several distinct chunk programs.
+        # A fresh Evaluator would pay those compiles inside the measured
+        # span (tens of seconds each over the tunnel), which is not the
+        # production steady state — a real run amortizes them over
+        # thousands of windows. One untimed pass with the SAME evaluator
+        # leaves all jit caches warm; the timed pass then measures pure
+        # steady state.
+        warm_stream = EventStream(config)
+        wms, whs = model_state, init_hot_state(b, res)
+        while warm_stream.seq_num < len(warm_stream.files):
+            wb = warm_stream.next_batch()
+            if warm_stream.seq_num >= len(warm_stream.files):
+                break
+            wms, whs, _ = evaluator.process_batch(
+                warm_stream, params, wms, whs, wb)
+        warm_stream.close()
+        evaluator.results()  # drain warmup records
+
     if evaluator.chunked:
         evaluator._flush_chunk = timed_flush
 
