@@ -77,10 +77,17 @@ def write_rich_sequence(path, res=(128, 128), duration=30.0,
         n_maps = int(round(duration * gt_flow_hz)) + 1
         for i in range(n_maps):
             t = i * dt
-            # velocity in effect over [t, t + dt)
+            # Both readers consume the map stamped t as the displacement of
+            # the window ENDING at t, i.e. over [t - dt, t) (ours
+            # data/h5.py idx = ceil(row + window); reference
+            # dataloader/h5.py:311-315), so sample the segment velocity at
+            # that interval's midpoint. segment_s is a multiple of dt, so
+            # the velocity is constant across the interval and the map is
+            # exact.
+            tq = max(t - dt / 2.0, 0.0)
             vy = vx = 0.0
             for (s0, s1, svy, svx) in segments:
-                if s0 - 1e-9 <= t < s1 - 1e-9:
+                if s0 - 1e-9 <= tq < s1 - 1e-9:
                     vy, vx = svy, svx
                     break
             else:

@@ -597,7 +597,12 @@ class Evaluator:
         self._chunk_state = (ms, hs)
 
         k = self.k_windows
-        for name in ("FWL", "RSAT"):
+        # enqueue in CONFIG order: under metrics.reference_accounting the
+        # first record to reach a new file is the one the reference CLI
+        # credits to the last metric's bucket (its filename-creation loop
+        # rebinds `metric`), so a [RSAT, FWL] config must enqueue RSAT
+        # first to reproduce the quirk faithfully
+        for name in [m for m in self.metrics if m in ("FWL", "RSAT")]:
             if name not in res:
                 continue
             for g in range(s // k):

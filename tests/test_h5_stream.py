@@ -268,3 +268,43 @@ def test_frames_mode(tmp_path):
     b2 = stream.next_batch()
     assert b2["frames"][0, 0].max() == 10 and b2["frames"][0, 1].max() == 20
     stream.close()
+
+
+def test_rich_gtflow_maps_match_window_motion(tmp_path):
+    """Regression: write_rich_sequence's flow_dt1 maps must describe the
+    motion of the window they are consumed WITH. Both readers take the map
+    stamped t as the GT of the window ending at t (displacement over
+    [t - dt, t)); an earlier writer stored the velocity of [t, t + dt),
+    handing every segment-boundary window the NEXT segment's flow."""
+    from event_flow_tpu.data.schema import write_rich_sequence
+    from event_flow_tpu.data.synthetic import rich_sequence_events
+
+    kw = dict(res=RES, duration=4.0, event_rate=4000.0,
+              segment_s=1.0, n_structures=40)
+    write_rich_sequence(str(tmp_path / "rich.h5"), seed=3, gt_flow_hz=2.0,
+                        **kw)
+    # same seed/args -> same piecewise-velocity timeline
+    _, _, _, _, segments = rich_sequence_events(3, **kw)
+
+    stream = EventStream(
+        _config(str(tmp_path), mode="gtflow_dt1", window=1, batch_size=1)
+    )
+    checked = 0
+    for _ in range(7):
+        b = stream.next_batch()
+        if b["new_seq"] or int(b["valid"].sum()) < 10:
+            continue
+        ev = b["events"][0][b["valid"][0] > 0]
+        t_mid = 0.5 * (float(ev[:, 0].min()) + float(ev[:, 0].max()))
+        for (s0, s1, vy, vx) in segments:
+            if s0 <= t_mid < s1:
+                break
+        dt = float(b["dt_gt"][0])
+        assert dt == pytest.approx(0.5)
+        np.testing.assert_allclose(
+            b["gtflow"][0, 0, 0], [vx * dt, vy * dt], atol=1e-5)
+        checked += 1
+    # 4 s / 0.5 s windows minus rollover: most windows actually checked,
+    # including ones on both sides of every segment boundary
+    assert checked >= 5
+    stream.close()

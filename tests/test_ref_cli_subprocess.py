@@ -38,6 +38,11 @@ SHIMS = os.path.join(REPO, "tests", "ref_shims")
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+from tools.ref_cli import (  # noqa: E402  (needs the sys.path insert)
+    run_reference_cli,
+    stored_reference_layout,
+)
+
 MODEL_BLOCK = {
     "name": "FireNet",
     "encoding": "cnt",
@@ -97,18 +102,15 @@ def _make_run(tmp_path, block, runid="headtohead"):
     mlruns = tmp_path / "mlruns"
     run_dir = mlruns / runid
     run_dir.mkdir(parents=True)
-    # the stored-params layout the reference trainer logs: spiking_neuron
-    # split out of the model block (MLflow char limit; the reference's
-    # combine_entries re-nests it, configs/parser.py:117-127)
-    stored_model = {k: v for k, v in block.items() if k != "spiking_neuron"}
-    stored = {
+    # the stored-params layout the reference trainer logs (shared contract:
+    # tools/ref_cli.py::stored_reference_layout)
+    stored = stored_reference_layout({
         "experiment": "Default",
-        "model": stored_model,
-        "spiking_neuron": block.get("spiking_neuron") or {},
+        "model": block,
         "loss": {"overwrite_intermediate": False,
                  "flow_regul_weight": 0.001, "clip_grad": 100.0},
         "optimizer": {"name": "Adam", "lr": 0.0002},
-    }
+    })
     with open(run_dir / "params.yml", "w") as f:
         yaml.safe_dump(stored, f)
     pth = export_torch_checkpoint(params, model_cfg["name"], model_cfg,
@@ -136,32 +138,8 @@ def _eval_yaml(data_path, mode, window, window_eval, metrics, res,
 
 
 def _run_reference_cli(tmp_path, mlruns, runid, cfg):
-    cfg_path = tmp_path / "ref_eval.yml"
-    ref_cfg = dict(cfg)
-    ref_cfg["data"] = {k: v for k, v in cfg["data"].items()
-                       if k != "max_events"}
-    ref_cfg["metrics"] = {k: v for k, v in cfg["metrics"].items()
-                          if k != "reference_accounting"}
-    with open(cfg_path, "w") as f:
-        yaml.safe_dump(ref_cfg, f)
-    results_root = str(tmp_path / "ref_results") + "/"
-    os.makedirs(results_root, exist_ok=True)
-    env = dict(os.environ)
-    env["PYTHONPATH"] = SHIMS
-    env["EVFLOW_REFERENCE"] = REF
-    proc = subprocess.run(
-        [sys.executable, os.path.join(SHIMS, "run_ref_eval.py"), runid,
-         "--config", str(cfg_path), "--path_mlflow", mlruns,
-         "--path_results", results_root],
-        capture_output=True, text=True, env=env, timeout=900,
-    )
-    assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-3000:])
-    metrics_yml = os.path.join(results_root, runid, "metrics_0.yml")
-    assert os.path.isfile(metrics_yml), proc.stdout[-2000:]
-    with open(metrics_yml) as f:
-        raw = yaml.safe_load(f)
-    return {m: {fn: float(v) for fn, v in table.items()}
-            for m, table in raw.items()}
+    # shared invocation contract: tools/ref_cli.py
+    return run_reference_cli(tmp_path, mlruns, runid, cfg, timeout=900)
 
 
 def _run_ours(tmp_path, mlruns, runid, pth, cfg):
@@ -217,6 +195,23 @@ def test_reference_cli_events_fwl_rsat(tmp_path):
     assert max(deltas) > 1e-4, (
         "expected the reference shadowing quirk to shift FWL tables; "
         "did the reference fix it?")
+
+
+def test_reference_cli_metric_order_rsat_fwl(tmp_path):
+    """The shadowing quirk follows the CONFIG's metric order: with
+    metrics [RSAT, FWL] the reference credits each file's first RSAT
+    window to the FWL bucket (the last list entry), the mirror image of
+    the [FWL, RSAT] case. Our reference_accounting emulation must enqueue
+    records in config order to reproduce it (eval/harness.py::_flush_chunk)."""
+    res = (48, 48)
+    data_path = _write_dataset(tmp_path, res=res)
+    mlruns, runid, pth = _make_run(tmp_path, LIF_BLOCK, runid="h2h_order")
+    cfg = _eval_yaml(data_path, "events", 2000, 6000, ["RSAT", "FWL"], res)
+    cfg["metrics"]["reference_accounting"] = True
+    ref = _run_reference_cli(tmp_path, mlruns, runid, cfg)
+    assert ref.get("RSAT"), "reference CLI produced no RSAT results"
+    ours = _run_ours(tmp_path, mlruns, runid, pth, cfg)
+    _assert_tables_close(ref, ours)
 
 
 def test_reference_cli_gtflow_aee(tmp_path):

@@ -51,3 +51,18 @@ def test_train_cli_checkpoint_and_resume(tmp_path):
     out2 = _train(cfg, runs, extra=("--resume", runid))
     assert f"resumed run {runid}" in out2, out2
     assert "stopping after" in out2
+
+
+def test_train_cli_synthetic_rich(tmp_path):
+    """`--synthetic rich` trains datasetless on the textured varied-flow
+    stream (data/synthetic.py::rich_window_stream) through the same CLI
+    path as the constant-flow default."""
+    cfg = _small_cfg(str(tmp_path / "train.yml"))
+    runs = str(tmp_path / "runs")
+    cmd = [sys.executable, os.path.join(REPO, "train_flow.py"),
+           "--config", cfg, "--runs_root", runs,
+           "--synthetic", "rich", "--max_updates", "2", "--cpu"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=420,
+                       cwd=REPO)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "stopping after" in r.stdout

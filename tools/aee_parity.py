@@ -26,7 +26,6 @@ import argparse
 import json
 import os
 import shutil
-import subprocess
 import sys
 import tempfile
 
@@ -34,25 +33,13 @@ import numpy as np
 import yaml
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF = os.environ.get("EVFLOW_REFERENCE", "/root/reference")
-SHIMS = os.path.join(REPO, "tests", "ref_shims")
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-
-def _stored_reference_layout(run_params):
-    """Re-nest our stored params.yml into the layout the reference trainer
-    logs (spiking_neuron split out of the model block — MLflow char limit;
-    the reference's combine_entries re-nests it, configs/parser.py:117-127)."""
-    model = dict(run_params["model"])
-    sn = model.pop("spiking_neuron", None) or {}
-    return {
-        "experiment": run_params.get("experiment", "Default"),
-        "model": model,
-        "spiking_neuron": sn,
-        "loss": run_params.get("loss", {}),
-        "optimizer": run_params.get("optimizer", {}),
-    }
+from tools.ref_cli import (  # noqa: E402  (needs the sys.path insert)
+    run_reference_cli,
+    stored_reference_layout,
+)
 
 
 def _export_run(run_dir, run_params, mlruns, runid):
@@ -70,41 +57,10 @@ def _export_run(run_dir, run_params, mlruns, runid):
     out = os.path.join(mlruns, runid)
     os.makedirs(out, exist_ok=True)
     with open(os.path.join(out, "params.yml"), "w") as f:
-        yaml.safe_dump(_stored_reference_layout(run_params), f)
+        yaml.safe_dump(stored_reference_layout(run_params), f)
     pth = export_torch_checkpoint(params, model_cfg["name"], model_cfg,
                                   out, mlflow_layout=True)
     return pth
-
-
-def _run_reference_cli(workdir, mlruns, runid, eval_cfg):
-    cfg_path = os.path.join(workdir, "ref_eval.yml")
-    ref_cfg = dict(eval_cfg)
-    # ours-only keys the reference parser doesn't know
-    ref_cfg["data"] = {k: v for k, v in eval_cfg["data"].items()
-                       if k != "max_events"}
-    ref_cfg["metrics"] = {k: v for k, v in eval_cfg["metrics"].items()
-                          if k != "reference_accounting"}
-    with open(cfg_path, "w") as f:
-        yaml.safe_dump(ref_cfg, f)
-    results_root = os.path.join(workdir, "ref_results") + "/"
-    os.makedirs(results_root, exist_ok=True)
-    env = dict(os.environ)
-    env["PYTHONPATH"] = SHIMS
-    env["EVFLOW_REFERENCE"] = REF
-    proc = subprocess.run(
-        [sys.executable, os.path.join(SHIMS, "run_ref_eval.py"), runid,
-         "--config", cfg_path, "--path_mlflow", mlruns,
-         "--path_results", results_root],
-        capture_output=True, text=True, env=env, timeout=3600,
-    )
-    if proc.returncode != 0:
-        raise RuntimeError(
-            f"reference CLI failed:\n{proc.stdout[-3000:]}\n"
-            f"{proc.stderr[-3000:]}")
-    with open(os.path.join(results_root, runid, "metrics_0.yml")) as f:
-        raw = yaml.safe_load(f)
-    return {m: {fn: float(v) for fn, v in table.items()}
-            for m, table in raw.items()}
 
 
 def _run_ours(runid, cfg_path, runs_root):
@@ -151,7 +107,8 @@ def main():
         print(f"exported {args.runid} -> {mlruns}")
 
         ours = _run_ours(args.runid, args.config, args.runs_root)
-        ref = _run_reference_cli(workdir, mlruns, args.runid, eval_cfg)
+        ref = run_reference_cli(workdir, mlruns, args.runid, eval_cfg,
+                                timeout=3600)
 
         report = {"runid": args.runid, "files": {}}
         deltas = []
@@ -166,13 +123,23 @@ def main():
             if rel is not None:
                 deltas.append(rel)
         report["max_rel_delta"] = max(deltas) if deltas else None
-        report["mean_AEE_ours"] = float(np.mean(
-            [v["AEE_ours"] for v in report["files"].values()]))
+        # a file the reference saw but ours skipped leaves AEE_ours=None;
+        # still print the report (with PARITY FAIL via missing deltas)
+        # instead of crashing np.mean after two expensive eval runs
+        ours_vals = [v["AEE_ours"] for v in report["files"].values()
+                     if v["AEE_ours"] is not None]
+        report["mean_AEE_ours"] = (
+            float(np.mean(ours_vals)) if ours_vals else None)
         report["mean_AEE_reference"] = float(np.mean(
             [v["AEE_reference"] for v in report["files"].values()]))
+        if len(ours_vals) != len(report["files"]):
+            report["missing_from_ours"] = [
+                f for f, v in report["files"].items()
+                if v["AEE_ours"] is None]
         print(json.dumps(report, indent=2))
-        ok = report["max_rel_delta"] is not None and (
-            report["max_rel_delta"] < 0.01)
+        ok = (report["max_rel_delta"] is not None
+              and report["max_rel_delta"] < 0.01
+              and "missing_from_ours" not in report)
         print(f"PARITY {'OK' if ok else 'FAIL'}: max rel delta "
               f"{report['max_rel_delta']}")
         return 0 if ok else 1

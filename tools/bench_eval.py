@@ -183,7 +183,13 @@ def run_eval(config, sync_each=True):
         if not n:
             return orig_flush(params)
         put_time[0] = 0.0
-        evaluator._put = timed_put
+        if sync_each:
+            # latency mode: time each transfer to completion for the
+            # transfer/dispatch decomposition. Throughput mode keeps the
+            # untimed put so transfers enqueue freely and overlap device
+            # compute, as the production Evaluator runs (its decomp
+            # fields are not reported in that mode).
+            evaluator._put = timed_put
         t0 = time.perf_counter()
         try:
             orig_flush(params)

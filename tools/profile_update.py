@@ -176,7 +176,9 @@ def main():
     out = "\n".join(lines)
     print(out)
     if args.summary:
-        os.makedirs(os.path.dirname(args.summary), exist_ok=True)
+        summary_dir = os.path.dirname(args.summary)
+        if summary_dir:
+            os.makedirs(summary_dir, exist_ok=True)
         with open(args.summary, "w") as f:
             f.write(out + "\n")
         print(f"\nwrote {args.summary}")

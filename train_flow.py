@@ -67,7 +67,7 @@ def train(args):
 
     # stream
     if args.synthetic:
-        stream = _SyntheticStream(config)
+        stream = _SyntheticStream(config, style=args.synthetic)
     elif args.native:
         from event_flow_tpu.data.native_loader import NativeEventStream
 
@@ -129,11 +129,20 @@ def train(args):
 
 
 class _SyntheticStream:
-    """Stream-shaped wrapper over the synthetic constant-flow generator,
-    for datasetless smoke training."""
+    """Stream-shaped wrapper over the synthetic generators, for
+    datasetless training. ``style`` selects the scene model: ``const``
+    (per-slot constant-velocity point scenes) or ``rich`` (textured
+    scenes with per-rollover resampled flow magnitude AND direction,
+    data/synthetic.py::rich_window_stream — the datasetless counterpart
+    of the rich on-disk dataset)."""
 
-    def __init__(self, config):
-        from event_flow_tpu.data.synthetic import synthetic_window_stream
+    ROLLOVER = 64  # batches per scene (both generators resample then)
+
+    def __init__(self, config, style="const"):
+        from event_flow_tpu.data.synthetic import (
+            rich_window_stream,
+            synthetic_window_stream,
+        )
 
         self.batch_size = config["loader"]["batch_size"]
         self.files = ["synthetic"]
@@ -143,15 +152,25 @@ class _SyntheticStream:
         self.batch_row = [0.0] * self.batch_size
         n = int(config["data"]["window"])
         res = tuple(config["loader"]["resolution"])
-        self._gen = synthetic_window_stream(
-            config["loader"].get("seed", 0), self.batch_size, n, res, 1
-        )
+        seed = config["loader"].get("seed", 0)
+        if style == "rich":
+            self._gen = rich_window_stream(
+                seed, self.batch_size, n, res, 1, rollover=self.ROLLOVER
+            )
+        else:
+            self._gen = synthetic_window_stream(
+                seed, self.batch_size, n, res, 1
+            )
         self._count = 0
 
     def next_batch(self):
         ev = next(self._gen)[:, 0]
         self._count += 1
-        new_seq = self._count % 64 == 0  # periodic pseudo-rollover
+        # flag the FIRST batch of each new scene so the recurrent state
+        # resets with the content (rich_window_stream resamples its slots
+        # after every ROLLOVER yields; const has no scene change and just
+        # gets the same periodic pseudo-rollover)
+        new_seq = self._count > 1 and (self._count - 1) % self.ROLLOVER == 0
         if new_seq:
             self.seq_num += 1
         return {
@@ -168,8 +187,11 @@ if __name__ == "__main__":
     ap.add_argument("--prev_runid", default="",
                     help="restore params from a previous run")
     ap.add_argument("--runs_root", default="runs")
-    ap.add_argument("--synthetic", action="store_true",
-                    help="train on the synthetic constant-flow stream")
+    ap.add_argument("--synthetic", nargs="?", const="const", default=None,
+                    choices=["const", "rich"],
+                    help="train datasetless on a synthetic stream: 'const' "
+                         "(default) = per-slot constant flow, 'rich' = "
+                         "textured scenes with varied flow")
     ap.add_argument("--native", action="store_true",
                     help="use the C++ prefetching loader (events mode)")
     ap.add_argument("--resume", default="",
