@@ -12,6 +12,10 @@ Usage:
 import argparse
 import os
 
+# persistent XLA compile cache (same as bench.py/train_flow.py): repeat
+# invocations reload executables instead of re-compiling
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 import numpy as np
 
 

@@ -16,6 +16,11 @@ Optional data parallelism over all visible devices: --dp.
 import argparse
 import os
 
+# persistent XLA compile cache (same as bench.py): repeat invocations and
+# retries after a worker crash reload executables instead of re-running
+# the heavy b8 train-step compile that destabilizes the tunnel worker
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 import numpy as np
 
 
