@@ -36,6 +36,15 @@ def train(args):
             "Training pipeline not compatible with frames mode "
             "(reference: train_flow.py:43-45)"
         )
+    if args.bf16 and not config.get("spiking_neuron"):
+        print(
+            "WARNING: bf16 long-horizon TRAINING is validated for the "
+            "spiking families (state bounded by the neuron dynamics). A "
+            "100-epoch ANN RecEVFlowNet run collapsed into tanh-head "
+            "saturation at ~200 updates under bf16 and trained cleanly "
+            "in f32 (STATUS.md round-4 findings) — prefer f32 for ANN "
+            "training; bf16 inference/serving is unaffected."
+        )
 
     tracker = Tracker(config.get("experiment", "Default"),
                       runs_root=args.runs_root)
