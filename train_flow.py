@@ -29,6 +29,14 @@ def train(args):
     from event_flow_tpu.train.loop import Trainer
     from event_flow_tpu.utils.tracking import Tracker
 
+    # programmatic-entry contract: callers may pass a bare Namespace with
+    # only the fields they care about; every CLI flag's default is filled
+    # in here so adding a new flag can never break embedding users
+    # (round-4 regression: an unguarded args.bf16 read broke exact-resume)
+    for action in build_arg_parser()._actions:
+        if action.dest != "help" and not hasattr(args, action.dest):
+            setattr(args, action.dest, action.default)
+
     parser = YAMLConfig(args.config)
     config = parser.config
     if config["data"]["mode"] == "frames":
@@ -36,7 +44,7 @@ def train(args):
             "Training pipeline not compatible with frames mode "
             "(reference: train_flow.py:43-45)"
         )
-    if args.bf16 and not config.get("spiking_neuron"):
+    if getattr(args, "bf16", False) and not config.get("spiking_neuron"):
         print(
             "WARNING: bf16 long-horizon TRAINING is validated for the "
             "spiking families (state bounded by the neuron dynamics). A "
@@ -195,7 +203,7 @@ class _SyntheticStream:
         }
 
 
-if __name__ == "__main__":
+def build_arg_parser():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/train_flow.yml")
     ap.add_argument("--prev_runid", default="",
@@ -226,7 +234,11 @@ if __name__ == "__main__":
                     help="force the CPU backend (e.g. when the TPU worker "
                          "is unavailable); must win over any platform pin, "
                          "so it is applied before any computation")
-    args = ap.parse_args()
+    return ap
+
+
+if __name__ == "__main__":
+    args = build_arg_parser().parse_args()
     if args.cpu:
         import jax
 
