@@ -13,7 +13,7 @@ import h5py
 import numpy as np
 
 __all__ = ["write_h5_sequence", "write_synthetic_sequence",
-           "write_rich_sequence"]
+           "write_rich_sequence", "write_varied_sequence"]
 
 
 def write_h5_sequence(path, xs, ys, ts, ps, frames=None, flow_dt1=None,
@@ -52,8 +52,9 @@ def write_rich_sequence(path, res=(128, 128), duration=30.0,
     (log-uniform |v| in ``speed_range`` px/s), or one constant
     ``velocity=(vy, vx)`` for exact-GT evaluation sequences. When
     ``gt_flow_hz`` is set, writes flow_dt1 maps storing the TRUE
-    per-interval pixel displacement (x, y) — exact because ``segment_s``
-    must be a multiple of the map interval. This is the dataset the
+    per-interval pixel displacement (x, y), computed by integrating the
+    piecewise-constant velocity over each map interval — exact for any
+    alignment of the GT grid with segment boundaries. This is the dataset the
     self-supervised metrics need to be meaningful: per-eval-window
     displacement is multi-pixel, so correct flow genuinely sharpens the
     IWE (FWL > 1, reference loss/flow.py:468-500) instead of the
@@ -68,10 +69,6 @@ def write_rich_sequence(path, res=(128, 128), duration=30.0,
     flow_dt1 = None
     if gt_flow_hz:
         dt = 1.0 / gt_flow_hz
-        if abs(segment_s / dt - round(segment_s / dt)) > 1e-6:
-            raise ValueError(
-                f"segment_s={segment_s} must be a multiple of the GT map "
-                f"interval 1/gt_flow_hz={dt} for the maps to be exact")
         h, w = res
         flow_dt1 = []
         n_maps = int(round(duration * gt_flow_hz)) + 1
@@ -80,22 +77,66 @@ def write_rich_sequence(path, res=(128, 128), duration=30.0,
             # Both readers consume the map stamped t as the displacement of
             # the window ENDING at t, i.e. over [t - dt, t) (ours
             # data/h5.py idx = ceil(row + window); reference
-            # dataloader/h5.py:311-315), so sample the segment velocity at
-            # that interval's midpoint. segment_s is a multiple of dt, so
-            # the velocity is constant across the interval and the map is
-            # exact.
-            tq = max(t - dt / 2.0, 0.0)
+            # dataloader/h5.py:311-315). Integrate the piecewise-constant
+            # velocity over that interval — exact for ANY alignment of the
+            # GT grid with the segment boundaries (the actual segment
+            # length is duration/round(duration/segment_s), which need not
+            # be a multiple of dt; round-4 advisor finding). Segments are
+            # extended constantly beyond [0, duration) so the edge maps
+            # integrate over a full dt.
             vy = vx = 0.0
-            for (s0, s1, svy, svx) in segments:
-                if s0 - 1e-9 <= tq < s1 - 1e-9:
-                    vy, vx = svy, svx
-                    break
-            else:
-                _, _, vy, vx = segments[-1]
+            for k, (s0, s1, svy, svx) in enumerate(segments):
+                lo = s0 if k > 0 else -np.inf
+                hi = s1 if k < len(segments) - 1 else np.inf
+                overlap = min(hi, t) - max(lo, t - dt)
+                if overlap > 0:
+                    vy += svy * overlap
+                    vx += svx * overlap
             fm = np.zeros((2, h, w), np.float32)
-            fm[0] = vx * dt
-            fm[1] = vy * dt
+            fm[0] = vx
+            fm[1] = vy
             flow_dt1.append((t0 + t, fm))
+    write_h5_sequence(path, xs, ys, t0 + ts, ps, flow_dt1=flow_dt1)
+    return path
+
+
+def write_varied_sequence(path, res=(128, 128), duration=30.0,
+                          event_rate=20000.0, seed=0, preset=None,
+                          n_objects=2, segment_s=1.6, n_structures=260,
+                          gt_flow_hz=10.0, t0=10.0):
+    """Spatially-varying synthetic sequence in the reference schema.
+
+    Scenes (data/scene.py) compose a textured background under piecewise
+    rotation/zoom/translation fields with independently-moving textured
+    occluders; ``flow_dt1`` maps (when ``gt_flow_hz`` is set) store the
+    closed-form-EXACT per-pixel displacement over each [t - dt, t) map
+    interval, with the topmost layer winning per pixel — the synthetic
+    counterpart of MVSEC's gtflow_dt1 structure (reference
+    dataloader/h5.py:303-314).
+
+    ``preset=None`` draws a random training scene
+    (scene.random_varied_scene); a named preset ('rotation', 'zoom',
+    'rotozoom', 'objects') builds one held-out evaluation family
+    (scene.varied_eval_scene).
+    """
+    from .scene import random_varied_scene, varied_eval_scene
+
+    rng = np.random.default_rng(seed)
+    if preset is None:
+        sc = random_varied_scene(rng, res, duration, segment_s=segment_s,
+                                 n_structures=n_structures,
+                                 n_objects=n_objects)
+    else:
+        sc = varied_eval_scene(rng, res, duration, preset,
+                               segment_s=segment_s,
+                               n_structures=n_structures)
+    ts, ys, xs, ps = sc.events(rng, duration, event_rate)
+    flow_dt1 = None
+    if gt_flow_hz:
+        dt = 1.0 / gt_flow_hz
+        n_maps = int(round(duration * gt_flow_hz)) + 1
+        flow_dt1 = [(t0 + i * dt, sc.gt_flow_map(i * dt, dt))
+                    for i in range(n_maps)]
     write_h5_sequence(path, xs, ys, t0 + ts, ps, flow_dt1=flow_dt1)
     return path
 

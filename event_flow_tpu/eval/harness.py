@@ -484,6 +484,15 @@ class Evaluator:
         parts, spec, off = [], [], 0
         for a in arrs:
             a = np.ascontiguousarray(a)
+            # _unpack only bitcasts itemsize>1 segments and assumes native
+            # byte order: a bool/int8 input would silently come back as
+            # uint8, a big-endian one as garbage. Normalize/assert here.
+            if a.dtype == np.bool_ or a.dtype == np.int8:
+                raise TypeError(
+                    f"_pack_put: 1-byte dtype {a.dtype} other than uint8 "
+                    "would be unpacked as uint8 — cast explicitly first")
+            if a.dtype.byteorder == ">":
+                a = a.astype(a.dtype.newbyteorder("="))
             raw = a.reshape(-1).view(np.uint8)
             pad = (-off) % 4  # 4-byte-align every segment for bitcast
             if pad:

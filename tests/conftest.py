@@ -34,6 +34,7 @@ import pytest  # noqa: E402
 # of scattering decorators; subprocess/e2e files also self-mark.
 SLOW_TESTS = (
     "test_multiprocess.py::test_two_process_dp",
+    "test_multiprocess.py::test_two_process_2d_mesh",
     "test_eval_cli.py::test_sharded_cli",
     "test_train_cli.py",
     "test_eval_protocol_parity.py",
@@ -126,9 +127,29 @@ SLOW_TESTS = (
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
     for item in items:
-        if any(s in item.nodeid for s in SLOW_TESTS):
-            item.add_marker(pytest.mark.slow)
+        for s in SLOW_TESTS:
+            if s in item.nodeid:
+                item.add_marker(pytest.mark.slow)
+                matched.add(s)
+    # staleness guard: a renamed/removed test must not silently fall out
+    # of the slow tier (it would bloat the fast tier without any signal).
+    # Only meaningful on full-file collection — single-file runs check
+    # just their own entries, and -k filtered runs skip the check.
+    if config.getoption("keyword", ""):
+        return
+    collected_files = {item.nodeid.split("::", 1)[0] for item in items}
+    stale = [
+        s for s in SLOW_TESTS
+        if s not in matched
+        and s.split("::", 1)[0] in {f.rsplit("/", 1)[-1] for f in collected_files}
+    ]
+    if stale:
+        raise pytest.UsageError(
+            "stale SLOW_TESTS entries (test renamed/removed? update "
+            "tests/conftest.py): " + ", ".join(stale)
+        )
 
 
 @pytest.fixture(autouse=True)
