@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["init_distributed", "process_file_shard", "global_batch",
-           "global_state"]
+           "global_state", "global_put"]
 
 
 def init_distributed(coordinator_address=None, num_processes=None,
@@ -98,6 +98,30 @@ def global_batch(mesh, tree, axis_name="data"):
         return jax.make_array_from_process_local_data(sharding, x)
 
     return jax.tree_util.tree_map(one, tree)
+
+
+def global_put(mesh, x, spec):
+    """Full host-local value -> global jax.Array with arbitrary ``spec``.
+
+    Unlike :func:`global_batch` (which assumes each process holds only its
+    LOCAL slots of a batch-axis shard), every process passes the SAME
+    full-size ``x`` and this places each addressable shard explicitly —
+    the right tool when a mesh axis that spans processes is NOT the batch
+    axis (e.g. a ``{data, event}`` mesh whose event axis crosses hosts:
+    every host can materialize the full window but owns only an event
+    slice). Works for replicated specs and single-process too.
+    """
+    x = np.asarray(x)
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arrays = [
+        jax.device_put(x[idx], d)
+        for d, idx in sharding.addressable_devices_indices_map(
+            x.shape).items()
+    ]
+    return jax.make_array_from_single_device_arrays(x.shape, sharding,
+                                                    arrays)
 
 
 def global_state(mesh, state, batch_sharded_leaves=True, axis_name="data"):
