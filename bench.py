@@ -298,11 +298,21 @@ def main():
     # protocol (model + FWL/RSAT association folded into chunked
     # dispatches) at batch 1. Last in order + guarded: a worker crash
     # here can't take down the training numbers above.
+    # Each recipe is measured EVFLOW_BENCH_EVAL_REPEATS times (default 5,
+    # VERDICT r4 #5: the tunnel's transfer term varies ~2x run-to-run);
+    # reported value = median across repeats, *_iqr = inter-quartile range
+    # so BENCH_rN states its own reproducibility.
     if _ATTEMPT == 0 and os.environ.get("EVFLOW_BENCH_EVAL", "1") != "0":
         try:
-            signal.alarm(900)  # fresh watchdog for the eval stage
+            signal.alarm(1800)  # fresh watchdog for the eval stage
             import importlib.util
             import sys
+
+            repeats = int(os.environ.get("EVFLOW_BENCH_EVAL_REPEATS", "5"))
+
+            def med_iqr(samples):
+                q1, q2, q3 = np.percentile(samples, [25, 50, 75])
+                return float(q2), float(q3 - q1)
 
             spec = importlib.util.spec_from_file_location(
                 "bench_eval",
@@ -320,22 +330,41 @@ def main():
                 # per-chunk sync — the production Evaluator never syncs)
                 # is the headline steady state. Same methodology as
                 # tools/bench_eval.py, so STATUS and bench agree.
-                _, lat_ms, _, _, decomp = be.run_eval(cfg, sync_each=True)
-                _, steady_ms, _, _, _ = be.run_eval(cfg, sync_each=False)
+                samples = {"steady": [], "lat": [], "transfer": [],
+                           "dispatch": []}
+                for _ in range(repeats):
+                    _, lat_ms, _, _, decomp = be.run_eval(cfg,
+                                                          sync_each=True)
+                    _, steady_ms, _, _, _ = be.run_eval(cfg,
+                                                        sync_each=False)
+                    if np.isfinite(steady_ms):
+                        samples["steady"].append(steady_ms)
+                    if np.isfinite(lat_ms):
+                        samples["lat"].append(lat_ms)
+                        if "transfer_ms" in decomp:
+                            samples["transfer"].append(
+                                decomp["transfer_ms"])
+                        if "dispatch_ms" in decomp:
+                            samples["dispatch"].append(
+                                decomp["dispatch_ms"])
                 key = f"eval_{recipe.lower()}"
-                if np.isfinite(steady_ms):
-                    result[f"{key}_ms_per_window_b1"] = round(steady_ms, 2)
-                    result[f"{key}_windows_per_sec_b1"] = (
-                        round(1e3 / steady_ms, 1))
-                if np.isfinite(lat_ms):
-                    result[f"{key}_latency_ms_per_window_b1"] = round(
-                        lat_ms, 2)
-                    if "transfer_ms" in decomp:
-                        result[f"{key}_transfer_ms_per_window_b1"] = round(
-                            decomp["transfer_ms"], 2)
-                    if "dispatch_ms" in decomp:
-                        result[f"{key}_dispatch_ms_per_window_b1"] = round(
-                            decomp["dispatch_ms"], 2)
+                if samples["steady"]:
+                    med, iqr = med_iqr(samples["steady"])
+                    result[f"{key}_ms_per_window_b1"] = round(med, 2)
+                    result[f"{key}_ms_per_window_b1_iqr"] = round(iqr, 2)
+                    result[f"{key}_windows_per_sec_b1"] = round(1e3 / med, 1)
+                if samples["lat"]:
+                    med, iqr = med_iqr(samples["lat"])
+                    result[f"{key}_latency_ms_per_window_b1"] = round(med, 2)
+                    result[f"{key}_latency_ms_per_window_b1_iqr"] = round(
+                        iqr, 2)
+                for nm, field in (("transfer", "transfer_ms_per_window_b1"),
+                                  ("dispatch", "dispatch_ms_per_window_b1")):
+                    if samples[nm]:
+                        med, iqr = med_iqr(samples[nm])
+                        result[f"{key}_{field}"] = round(med, 2)
+                        result[f"{key}_{field}_iqr"] = round(iqr, 2)
+                result[f"{key}_repeats"] = len(samples["steady"])
         except Exception as e:  # noqa: BLE001 — degraded worker
             import sys
 

@@ -28,6 +28,7 @@ os.environ.setdefault("EVFLOW_CONV_IMPL", "im2col")
 os.environ.setdefault("EVFLOW_CONV_DTYPE", "bfloat16")
 os.environ.setdefault("EVFLOW_CELL_DTYPE", "bfloat16")
 os.environ.setdefault("EVFLOW_REMAT", "convs")
+os.environ.setdefault("EVFLOW_CELL_IMPL", "auto")
 
 
 # op-name -> category heuristics for TPU trace events (event names are
@@ -70,15 +71,12 @@ def run_and_trace(model_name, updates, outdir):
     if model_name == "LIFFireNet":
         model = ge._flagship()
     else:
+        # the exact model config bench.py times (RecEVFlowNet is an ANN:
+        # relu activations, no spiking_neuron block)
+        import bench
         from event_flow_tpu.models.registry import get_model
 
-        model = get_model(model_name, {
-            "name": model_name, "encoding": "cnt", "num_bins": 2,
-            "base_num_channels": 32, "kernel_size": 3, "mask_output": True,
-            "activations": ["arctanspike", "arctanspike"],
-            "spiking_neuron": {"leak": [-4.0, 0.1], "thresh": [0.8, 0.1],
-                               "learn_leak": True, "learn_thresh": True,
-                               "hard_reset": True}})
+        model = get_model(model_name, bench.MODEL_CFGS[model_name])
     tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
     loss_cfg = LossConfig(res, float(max(res)), 0.001, smoothing_mask=True)
     step = jax.jit(make_train_step(model, tx, res, 2, loss_cfg,
