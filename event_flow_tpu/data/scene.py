@@ -497,12 +497,17 @@ def varied_eval_scene(rng, res, duration, preset, segment_s=1.6,
         segments = [(0.0, duration, "similarity",
                      {"q": q, "s": 0.0, "w": wrate})]
     elif preset == "zoom":
+        # mean |v| of a similarity field is rate * mean-radius (~0.38 *
+        # frame), so the zoom rate is sized to match the rotation preset's
+        # ~30 px/s mean speed; shorter alternating segments keep the
+        # cumulative scale swing within the background emitter margin
         sgn = float(rng.choice([-1.0, 1.0]))
         segments = []
-        for i, (t0, t1) in enumerate(times):
+        for i, (t0, t1) in enumerate(_segment_times(duration,
+                                                    segment_s / 2.0)):
             segments.append((t0, t1, "similarity",
                              {"q": q, "s": sgn * (-1.0) ** i
-                              * rng.uniform(0.28, 0.35), "w": 0.0}))
+                              * rng.uniform(0.55, 0.65), "w": 0.0}))
     elif preset == "rotozoom":
         wrate = float(rng.choice([-1.0, 1.0])) * rng.uniform(0.45, 0.6)
         sgn = float(rng.choice([-1.0, 1.0]))
