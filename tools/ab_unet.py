@@ -32,6 +32,14 @@ VARIANTS = {
     "mb=2": {"AB_MICRO_BATCH": "2"},
     "unroll=2": {"EVFLOW_SCAN_UNROLL": "2"},
     "cells=xla": {"EVFLOW_CELL_IMPL": "xla"},
+    # the profile attributes ~30% of the RecEVFlowNet update to the custom
+    # conv backward's T-stacked dw data movement (concatenate.741-744 +
+    # operand relayout copies) — these two switch its formulation / the
+    # conv implementation entirely
+    "conv_bwd=moveaxis": {"EVFLOW_CONV_BWD": "moveaxis"},
+    "conv=lax": {"EVFLOW_CONV_IMPL": "xla"},
+    "conv=lax,remat=none": {"EVFLOW_CONV_IMPL": "xla",
+                            "EVFLOW_REMAT": "none"},
 }
 
 

@@ -31,8 +31,13 @@ os.environ.setdefault("EVFLOW_REMAT", "convs")
 os.environ.setdefault("EVFLOW_CELL_IMPL", "auto")
 
 
-# op-name -> category heuristics for TPU trace events (event names are
-# HLO instruction names; fusions carry the producing op kind in the name)
+# op-name -> category heuristics for TPU trace events. Used ONLY as the
+# fallback when an event carries no ``hlo_category`` arg: XLA's own
+# category is authoritative — e.g. ``select_add_fusion`` / ``bitcast_
+# dynamic-update-slice_fusion`` events are "convolution fusion"s (the
+# custom conv-backward dw computations) that a name heuristic would
+# misfile as VPU elementwise (this exact misattribution shaped the first
+# round-5 UNet read of the data).
 CATEGORIES = (
     ("conv/matmul (MXU)", ("convolution", "dot", "conv_general")),
     ("scatter", ("scatter",)),
@@ -47,8 +52,38 @@ CATEGORIES = (
                                   "reduce", "broadcast", "convert")),
 )
 
+# XLA hlo_category -> report bucket
+HLO_CATEGORY_MAP = {
+    "convolution": "conv/matmul (MXU)",
+    "convolution fusion": "conv/matmul (MXU)",
+    "dot": "conv/matmul (MXU)",
+    "dot fusion": "conv/matmul (MXU)",
+    "copy": "copy/layout (HBM)",
+    "copy fusion": "copy/layout (HBM)",
+    "transpose": "copy/layout (HBM)",
+    "concatenate": "concat/slice",
+    "concatenate fusion": "concat/slice",
+    "dynamic-slice": "concat/slice",
+    "dynamic-update-slice": "concat/slice",
+    "slice": "concat/slice",
+    "pad": "concat/slice",
+    "scatter": "scatter",
+    "gather": "gather",
+    "loop fusion": "elementwise/fusion (VPU)",
+    "input fusion": "elementwise/fusion (VPU)",
+    "output fusion": "elementwise/fusion (VPU)",
+    "custom fusion": "elementwise/fusion (VPU)",
+    "fusion": "elementwise/fusion (VPU)",
+    "reduce": "elementwise/fusion (VPU)",
+}
 
-def categorize(name):
+
+def categorize(name, hlo_category=None):
+    if hlo_category:
+        mapped = HLO_CATEGORY_MAP.get(hlo_category.lower())
+        if mapped:
+            return mapped
+        return hlo_category
     low = name.lower()
     for cat, keys in CATEGORIES:
         if any(k in low for k in keys):
@@ -122,7 +157,9 @@ def parse_trace(outdir, top_k=25):
                    if "TPU" in name or "/device" in name.lower()}
     by_name = defaultdict(float)
     by_cat = defaultdict(float)
+    flops_by_cat = defaultdict(float)
     total = 0.0
+    total_flops = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
@@ -137,13 +174,23 @@ def parse_trace(outdir, top_k=25):
         # leaf ops sum to the measured device ms/update.
         if (name.startswith(("jit_", "while")) or name.isdigit()):
             continue
+        args = e.get("args") or {}
         dur = e["dur"] / 1e3  # us -> ms
+        cat = categorize(name, args.get("hlo_category"))
         by_name[name] += dur
-        by_cat[categorize(name)] += dur
+        by_cat[cat] += dur
         total += dur
+        # XLA's own FLOP estimate per op: lets the summary state measured
+        # MXU utilization per bucket, not just time shares
+        try:
+            fl = float(args.get("model_flops", 0) or 0)
+        except (TypeError, ValueError):
+            fl = 0.0
+        flops_by_cat[cat] += fl
+        total_flops += fl
     top = sorted(by_name.items(), key=lambda kv: -kv[1])[:top_k]
     cats = sorted(by_cat.items(), key=lambda kv: -kv[1])
-    return total, cats, top, pid_names
+    return total, cats, top, pid_names, flops_by_cat, total_flops
 
 
 def main():
@@ -159,15 +206,21 @@ def main():
 
     if not args.parse_only:
         run_and_trace(args.model, args.updates, args.outdir)
-    total, cats, top, pids = parse_trace(args.outdir)
+    total, cats, top, pids, flops_by_cat, total_flops = parse_trace(
+        args.outdir)
 
     lines = [f"# {args.model} update: device-time attribution",
              "",
              f"trace: {args.outdir}, {args.updates} updates, "
-             f"total tracked {total:.1f} ms", "",
-             "| category | ms | share |", "|---|---|---|"]
+             f"total tracked {total:.1f} ms, "
+             f"XLA-estimated {total_flops / 1e9:.1f} GFLOP", "",
+             "| category | ms | share | GFLOP | eff TFLOP/s |",
+             "|---|---|---|---|---|"]
     for cat, ms in cats:
-        lines.append(f"| {cat} | {ms:.2f} | {ms / max(total, 1e-9):.1%} |")
+        fl = flops_by_cat.get(cat, 0.0)
+        eff = fl / (ms * 1e-3) / 1e12 if ms > 0 else 0.0
+        lines.append(f"| {cat} | {ms:.2f} | {ms / max(total, 1e-9):.1%} "
+                     f"| {fl / 1e9:.1f} | {eff:.1f} |")
     lines += ["", "Top ops:", "", "| op | ms |", "|---|---|"]
     for name, ms in top:
         lines.append(f"| `{name[:70]}` | {ms:.2f} |")
