@@ -91,6 +91,25 @@ B, MB, S = {
     3: (4, None, 1),
 }.get(_ATTEMPT, (4, None, 1))
 
+# Measured per-family optima (tools/ab_unet.py sweep, r5, real chip,
+# docs/evidence_r5/ab_unet_recevflownet.txt): the flagship's levers do
+# NOT transfer to the UNet family. RecEVFlowNet at S=4: mb4 grad
+# accumulation LOSES (712 -> 841 w/s without it) and the im2col conv
+# LOSES (its patch concatenate is the profile's concat/slice bucket;
+# lax.conv 798, and mb=none + lax.conv compound to 1054 w/s / 28.1% MFU,
+# 1.48x baseline). The c32 flagship keeps mb4 + im2col (both measured
+# wins there: XLA's scan BPTT anti-scales with batch at that width, and
+# im2col's huge-M matmul amortizes the 32-lane padding). The ab_unet
+# worker overrides these per-run via bench.MODEL_MB / EVFLOW_CONV_IMPL.
+MODEL_MB = {
+    "RecEVFlowNet": None,
+    "SpikingRecEVFlowNet": None,
+}
+MODEL_CONV_IMPL = {
+    "RecEVFlowNet": "xla",
+    "SpikingRecEVFlowNet": "xla",
+}
+
 SNN_NEURON = {
     "leak": [-4.0, 0.1],
     "thresh": [0.8, 0.1],
@@ -170,6 +189,12 @@ def bench_model(model_name, rtt_s):
                                            make_train_step_multi)
 
     model_cfg = MODEL_CFGS[model_name]
+    mb = MODEL_MB.get(model_name, MB)
+    # per-model conv impl (read at trace time): always reset the global so
+    # sequential bench_model calls can't leak one model's impl to the next
+    from event_flow_tpu.models.conv import set_conv_impl
+    set_conv_impl(MODEL_CONV_IMPL.get(
+        model_name, os.environ.get("EVFLOW_CONV_IMPL", "auto")))
     model = get_model(model_name, model_cfg)
     tx = make_optimizer("Adam", 2e-4, clip_grad=100.0)
     loss_cfg = LossConfig(RES, float(max(RES)), 0.001, smoothing_mask=True)
@@ -186,14 +211,14 @@ def bench_model(model_name, rtt_s):
 
     if S > 1:
         jitted = jax.jit(make_train_step_multi(
-            model, tx, RES, 2, loss_cfg, micro_batch=MB))
+            model, tx, RES, 2, loss_cfg, micro_batch=mb))
         args0 = (jnp.asarray(np.stack([one_update() for _ in range(S)])),
                  jnp.ones((S, B, T, N)), jnp.zeros((S, B, 3)),
                  jnp.zeros((S,), bool))
         last = lambda losses: losses[-1]
     else:
         jitted = jax.jit(make_train_step(
-            model, tx, RES, 2, loss_cfg, micro_batch=MB))
+            model, tx, RES, 2, loss_cfg, micro_batch=mb))
         args0 = (jnp.asarray(one_update()), jnp.ones((B, T, N)),
                  jnp.zeros((B, 3)), jnp.asarray(False))
         last = lambda loss: loss

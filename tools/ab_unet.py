@@ -40,6 +40,12 @@ VARIANTS = {
     "conv=lax": {"EVFLOW_CONV_IMPL": "xla"},
     "conv=lax,remat=none": {"EVFLOW_CONV_IMPL": "xla",
                             "EVFLOW_REMAT": "none"},
+    # combos of the measured single-lever wins (mb=none 1.18x, conv=lax
+    # 1.12x on RecEVFlowNet)
+    "mb=none,conv=lax": {"AB_MICRO_BATCH": "0", "EVFLOW_CONV_IMPL": "xla"},
+    "mb=none,conv=lax,remat=none": {"AB_MICRO_BATCH": "0",
+                                    "EVFLOW_CONV_IMPL": "xla",
+                                    "EVFLOW_REMAT": "none"},
 }
 
 
@@ -49,7 +55,17 @@ def worker(model_name, s, mb_override):
 
     bench.S = s
     if mb_override is not None:
-        bench.MB = mb_override if mb_override > 0 else None
+        val = mb_override if mb_override > 0 else None
+        bench.MB = val
+        bench.MODEL_MB[model_name] = val
+    else:
+        # sweep baseline = the ladder MB, not the per-model default, so
+        # mb variants stay comparable across models
+        bench.MODEL_MB.pop(model_name, None)
+    # conv impl comes from the variant env (bench.py's module-level
+    # setdefault makes it im2col for the baseline), never the per-model
+    # bench default — variants must stay comparable across models
+    bench.MODEL_CONV_IMPL.pop(model_name, None)
 
     import signal
 
